@@ -1,0 +1,175 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list via iterative DataFrame joins —
+  * min-label propagation with alternating large-star/small-star style
+  * contraction, per the north_star ("connected-components via iterative
+  * DataFrame joins with salted keys for hub entities"; GraphX is on the
+  * classpath but deliberately unused).
+  *
+  * Scale notes:
+  *  - every iteration is ONE shuffle (join on `id`) + ONE aggregation;
+  *  - `localCheckpoint` truncates lineage each round so plans don't grow;
+  *  - AQE skew-join handles hub vertices (enabled in session conf); the
+  *    aggregation side is additionally pre-combined map-side by the
+  *    partial-min, so a hub with 10^8 neighbours never concentrates rows.
+  */
+object ConnectedComponents {
+
+  /** edges(src: string, dst: string) -> labels(id: string, component: string)
+    * where component = min id in the component (lexicographic). */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected closure, self-edges dropped
+    val e0 = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    // initial label = own id
+    var labels = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id")))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label for each vertex: min(own, min over neighbours' labels)
+      val viaNeighbours = e0
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("nbr"))
+      val next = labels.join(viaNeighbours, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}
+
+/** Hand-rolled MinHash + banded LSH blocking, entirely declarative:
+  * shingle -> per-hash-function min -> band -> bucket-join. Deterministic
+  * (xxhash64 with per-function seed columns) and shuffle-light: one shuffle
+  * on (band, bucketHash) whose key space is uniform by construction — the
+  * classic skew-free blocking for pairwise similarity at 10^12 rows.
+  * (MLlib's MinHashLSH exists on the classpath; this formulation keeps the
+  * whole plan in Catalyst/codegen and gives us explicit band control.)
+  */
+object MinHashBlocking {
+
+  /** df(id, toks: array<string>) -> signatures df(id, sig: array<bigint>). */
+  def signatures(df: DataFrame, numHashes: Int): DataFrame = {
+    val sigCols = (0 until numHashes).map { i =>
+      // min over tokens of xxhash64(token, seed_i): aggregate() stays codegen'd
+      aggregate(
+        transform(col("toks"), t => xxhash64(t, lit(i))),
+        lit(Long.MaxValue),
+        (acc, h) => least(acc, h)).as(s"h$i")
+    }
+    df.select((col("id") +: sigCols): _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Banded candidate pairs: ids sharing ANY band bucket. bands*rowsPerBand
+    * must equal numHashes. Returns distinct (a, b) with a < b. */
+  def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*), lit(b))
+      }: _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+}
+
+/** IRI canonicalization: merge coreferent entity IRIs. Candidate pairs come
+  * from MinHash-LSH blocking over IRI local-name shingles; pairs are
+  * verified by exact Jaccard; surviving edges feed connected components;
+  * every IRI is rewritten to its component representative.
+  *
+  * The rewrite join broadcasts the (small) canonical map when it fits,
+  * falling back to a shuffle join keyed by the term — at 100 TB the quad
+  * side is already hash-partitioned by `s` from the upstream window, so AQE
+  * coalesces the residual shuffle.
+  */
+object IriCanonicalizer {
+
+  /** df(id) of entity IRIs -> canonical map df(id, canonical). */
+  def canonicalMap(spark: SparkSession, iris: DataFrame,
+                   jaccardThreshold: Double = 0.6): DataFrame = {
+    // character-3-gram shingles of the IRI local name, as a pure expression
+    // (expr form because substring's pos argument is a lambda variable)
+    val toks = iris
+      .withColumn("local",
+        lower(regexp_replace(regexp_extract(col("id"), "([^/#]+)$", 1), "[^a-z0-9]", "")))
+      .withColumn("toks", expr(
+        "array_distinct(transform(sequence(1, greatest(length(local)-2, 1)), i -> substring(local, i, 3)))"))
+      .select("id", "toks")
+
+    val sigs = MinHashBlocking.signatures(toks, numHashes = 16)
+    val pairs = MinHashBlocking.candidatePairs(sigs, bands = 8, rowsPerBand = 2)
+
+    // verify candidates with exact Jaccard on the shingle sets
+    val ta = toks.select(col("id").as("a"), col("toks").as("ta"))
+    val tb = toks.select(col("id").as("b"), col("toks").as("tb"))
+    val verified = pairs.join(ta, Seq("a")).join(tb, Seq("b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("double"))
+      .filter(col("uni") > 0 && col("inter") / col("uni") >= jaccardThreshold)
+      .select(col("a").as("src"), col("b").as("dst"))
+
+    val comps = ConnectedComponents.run(spark, verified)
+    // identity rows for unmatched iris
+    iris.join(comps.withColumnRenamed("id", "i2"), iris("id") === col("i2"), "left")
+      .select(iris("id"), coalesce(col("component"), iris("id")).as("canonical"))
+  }
+
+  /** [[canonicalize]] for url-attributed contribution rows (keeps `url`). */
+  def canonicalizeAttributed(quads: DataFrame, canon: DataFrame): DataFrame = {
+    val cm = broadcast(canon)
+    quads
+      .join(cm.withColumnRenamed("id", "s").withColumnRenamed("canonical", "sCanon"),
+        Seq("s"), "left")
+      .join(cm.withColumnRenamed("id", "oLex").withColumnRenamed("canonical", "oCanon"),
+        Seq("oLex"), "left")
+      .select(
+        col("url"),
+        coalesce(col("sCanon"), col("s")).as("s"),
+        col("p"),
+        when(col("oKind") === lit(graft.model.TermKind.Iri),
+          coalesce(col("oCanon"), col("oLex"))).otherwise(col("oLex")).as("oLex"),
+        col("oKind"), col("oDtype"), col("oLang"), col("g"))
+      .dropDuplicates("url", "s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
+  }
+
+  /** Rewrite quad subject/object IRIs through the canonical map. */
+  def canonicalize(quads: DataFrame, canon: DataFrame): DataFrame = {
+    val cm = broadcast(canon)
+    quads
+      .join(cm.withColumnRenamed("id", "s").withColumnRenamed("canonical", "sCanon"),
+        Seq("s"), "left")
+      .join(cm.withColumnRenamed("id", "oLex").withColumnRenamed("canonical", "oCanon"),
+        Seq("oLex"), "left")
+      .select(
+        coalesce(col("sCanon"), col("s")).as("s"),
+        col("p"),
+        when(col("oKind") === lit(graft.model.TermKind.Iri),
+          coalesce(col("oCanon"), col("oLex"))).otherwise(col("oLex")).as("oLex"),
+        col("oKind"), col("oDtype"), col("oLang"), col("g"))
+      .dropDuplicates("s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J1 — the core operator: add/delete changelog between two quad states
+  * (the Spark re-expression of the reference's RDF-patch semantics,
+  * parse_trx_logs.sql:6-23 + MOTIVATION.md:44-46: updates surface as
+  * delete+insert pairs; each emitted line is self-contained).
+  *
+  * Implementation note (scale): the naive formulation is two `except`s —
+  * TWO full shuffles plus two distincts. This version tags both sides and
+  * computes a signed multiset delta with ONE hash aggregation:
+  *
+  *   union(prev×(-1), next×(+1)).groupBy(quad).sum(w) != 0
+  *
+  * Partial aggregation (map-side combine) collapses duplicates before the
+  * exchange, and AQE coalesces the post-shuffle partitions. The same shape
+  * also yields the support-count transition diff used for shared facts.
+  */
+object QuadDiff {
+
+  val quadCols: Seq[String] = Seq("s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
+
+  /** Set-semantics diff: rows in `next` not in `prev` -> op '+', rows in
+    * `prev` not in `next` -> op '-'. Inputs may carry duplicates; the signed
+    * sum handles multiplicity (delta sign decides the op). */
+  def diff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val p = prev.select(quadCols.map(col): _*).withColumn("w", lit(-1L))
+    val n = next.select(quadCols.map(col): _*).withColumn("w", lit(1L))
+    p.unionByName(n)
+      .groupBy(quadCols.map(col): _*)
+      .agg(sum(col("w")).as("delta"))
+      .filter(col("delta") =!= 0L)
+      .withColumn("op", when(col("delta") > 0, lit("+")).otherwise(lit("-")))
+      .drop("delta")
+  }
+
+  /** Support-count transition diff, for facts contributed by many pages
+    * (e.g. `entity rdf:type T` holds while ANY page supports it).
+    *
+    * `state`: (quad, support: long) — current global support per quad.
+    * `delta`: (quad, d: long)       — net contribution change this batch.
+    *
+    * Emits '+' when support transitions 0 -> >0 and '-' on >0 -> 0, plus the
+    * updated state. One outer join on the quad key; both sides arrive
+    * pre-bucketed by quad hash from the store layout, so the exchange is
+    * pruned to affected buckets only.
+    */
+  def supportTransition(state: DataFrame, delta: DataFrame): (DataFrame, DataFrame) = {
+    val joined = state.select((quadCols.map(col) :+ col("support")): _*)
+      .join(delta.select((quadCols.map(col) :+ col("d")): _*), quadCols, "full_outer")
+      .withColumn("oldSup", coalesce(col("support"), lit(0L)))
+      .withColumn("newSup", greatest(col("oldSup") + coalesce(col("d"), lit(0L)), lit(0L)))
+    val patches = joined
+      .withColumn("op",
+        when(col("oldSup") === 0L && col("newSup") > 0L, lit("+"))
+          .when(col("oldSup") > 0L && col("newSup") === 0L, lit("-")))
+      .filter(col("op").isNotNull)
+      .select((col("op") +: quadCols.map(col)): _*)
+    val newState = joined.filter(col("newSup") > 0L)
+      .select((quadCols.map(col) :+ col("newSup").as("support")): _*)
+    (patches, newState)
+  }
+
+  /** Patch application (property-test algebra: apply(diff(a,b), a) == b). */
+  def apply(base: DataFrame, patch: DataFrame): DataFrame = {
+    val adds = patch.filter(col("op") === "+").select(quadCols.map(col): _*)
+    val dels = patch.filter(col("op") === "-").select(quadCols.map(col): _*)
+    base.select(quadCols.map(col): _*)
+      .join(dels, quadCols, "left_anti")
+      .unionByName(adds)
+      .distinct()
+  }
+}
