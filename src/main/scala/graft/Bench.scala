@@ -1,24 +1,74 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: headline operator queries on the driver's sf dir +
+  * the end-to-end KG pipeline (bootstrap dump + one incremental batch) on a
+  * deterministic synthetic page table. Prints ONE JSON line.
+  *
+  * Headline set = the operators whose cost scales with data (the doc-table
+  * ops are fixed-size at every sf, so the lineitem/orders/events queries and
+  * the pipeline are what measure scaling).
+  */
 object Bench {
+
+  val headline: Seq[String] = Seq(
+    "q_agg_star_join", "q_j1_diff_changelog", "q_t2_watermark_filter",
+    "q_canon_connected_components", "q_dedup_minhash_pairs",
+    "q_dedup_ngram_jaccard", "q_ann_brute_topk", "q_txt_fingerprint",
+    "q_kg_patchlines", "q_mm_media_meta")
+
+  def mkSession(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-bench")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** End-to-end pipeline benchmark: returns (docs, seconds, quads). */
+  def pipelineRun(spark: SparkSession, nPages: Long, root: String): (Long, Double, Long) = {
+    import spark.implicits._
+    val pipe = new graft.streaming.QuadLogPipeline(spark, root, numBuckets = 32)
+    val s0 = graft.sources.PageGen.snapshot(spark, nPages, 0)
+    val s1 = graft.sources.PageGen.snapshot(spark, nPages, 1)
+    val t0 = System.nanoTime()
+    val r0 = pipe.bootstrap(s0, "bench", "00000000000000")
+    // incremental: changed pages = revision bumped in snapshot 1; deletions per generator
+    val changed = s1.filter(p => graft.sources.PageGen.revisionOf(
+      p.url.substring(p.url.lastIndexOf('/') + 1).toLong, 1) > 0)
+    val deleted = s0.select("url").except(s1.select("url")).as[String]
+    val r1 = pipe.incremental(1L, "20240102000000", changed, deleted)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val docs = s0.count() + changed.count()
+    (docs, secs, r0.added + r1.added + r1.deleted)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000").toLong
+    val spark = mkSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val queryTimes = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val root = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val (docs, pipeSecs, quads) = pipelineRun(spark, nPages, root)
+    val docsPerSec = docs / pipeSecs
+
+    val allTimes = queryTimes :+ ("pipeline_e2e" -> pipeSecs)
+    val qs = allTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = allTimes.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs":$docs,"pipeline_quads":$quads,"docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,612 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.plans.QuadDiff
+import graft.rdf.Escaping
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data ops), each with a DuckDB oracle in
+  * [[SparkEntry.oracleSql]] over the same parquet tables.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - portable 60-bit hash = first 15 hex chars of md5, so minhash/simhash
+  *    agree bit-for-bit between Spark and DuckDB;
+  *  - float similarity scores are emitted as `floor(x*10^4 + 0.5)` BIGINTs
+  *    (half-up fixed-point) — no float hashing hazards;
+  *  - decimal aggregates are computed in DECIMAL and emitted as integer
+  *    cents; counts/sizes are cast to BIGINT to match DuckDB's defaults.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------- shared helpers ----------
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Portable 60-bit hash: conv(substr(md5(x || '#salt'),1,15),16,10).
+    * DuckDB mirror: ('0x'||substr(md5(x||'#salt'),1,15))::BIGINT. */
+  private def phash(c: Column, salt: Int): Column =
+    conv(substring(md5(concat(c, lit(s"#$salt"))), 1, 15), 16, 10).cast("long")
+
+  /** Fixed-point: floor(x*10^4+0.5) as BIGINT (half-up; same formula in SQL). */
+  private def fx4(c: Column): Column = floor(c * 10000d + 0.5d).cast("long")
+
+  // the test-table entity dictionary (documents vocab is DB-flavored words)
+  private val docEntities: Seq[(String, String)] = Seq(
+    "spark" -> "http://kg.example.org/entity/Spark",
+    "join" -> "http://kg.example.org/entity/Join",
+    "window" -> "http://kg.example.org/entity/Window",
+    "vector" -> "http://kg.example.org/entity/Vector",
+    "customer" -> "http://kg.example.org/entity/Customer")
+  private val ambCtxA = Seq("table", "scan", "merge")   // Part_physical context
+  private val ambCtxB = Seq("small", "big", "value")    // Part_logical context
+
+  /** Flagship: end-to-end KG extraction (pages -> mentions -> links ->
+    * canonicalized quads) on a deterministic synthetic page table. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pages = graft.sources.PageGen.snapshot(spark, 300, 0)
+    new graft.streaming.QuadLogPipeline(spark, "/tmp/graft_entry", numBuckets = 8)
+      .extractedQuads(pages)
+      .withColumn("op", lit("+"))
+  }
+
+  // =====================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- S1/F1: snapshot scan + excluded-graph filter (dump_nquads.sql:44-49)
+    "q_s1_scan_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(!col("source").isin("src0", "src3"))
+        .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+    }),
+
+    // --- F2/F3: opcode -> op classification (parse_trx_logs.sql:6-23)
+    "q_f2_opcode_map" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("op",
+          when(col("event_type").isin("click", "signup", "purchase"), "+")
+            .when(col("event_type").isin("error"), "-")
+            .otherwise(null))
+        .filter(col("op").isNotNull)
+        .groupBy("op").agg(count(lit(1)).as("n"))
+    }),
+
+    // --- J4: exclusion as anti-join (dump_nquads.sql:47-48)
+    "q_j4_graph_exclusion" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val excluded = ev.filter(col("value") > 190).select("user_id").distinct()
+      ev.join(excluded, Seq("user_id"), "left_anti")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    }),
+
+    // --- A1/A3: group-by-graph buffering + counters (buffer_nquads.sql:8-29)
+    "q_a1_quads_per_graph" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("total_chars"))
+    }),
+
+    // --- A5: cross-run running totals (generate-rdfpatch.sh:345-346)
+    "q_a5_running_totals" -> ((s, dir) => {
+      val per = t(s, dir, "documents").groupBy("source").agg(count(lit(1)).as("n"))
+      per.withColumn("running_total",
+        sum("n").over(Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)))
+    }),
+
+    // --- J1: the core +/- changelog diff (MOTIVATION.md:44-46)
+    "q_j1_diff_changelog" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val prev = o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select("o_orderkey", "o_orderpriority")
+      val next = o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .select("o_orderkey", "o_orderpriority")
+      QuadDiff.diffOn(prev, next, Seq("o_orderkey", "o_orderpriority"))
+    }),
+
+    // --- W1: maxq-per-file chunking (buffer_nquads.sql:24-27)
+    "q_w1_chunking" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("chunk", floor((col("rn") - 1) / 25).cast("long"))
+        .select("doc_id", "source", "chunk")
+    }),
+
+    // --- W2/O5: complete-vs-end packaging windows (zipsynchronizer.py:133-173)
+    "q_w2_packaging" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("batch", floor(col("doc_id") / 100).cast("long"))
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_files"))
+        .withColumn("is_complete", (col("n_files") === 100).cast("int"))
+    }),
+
+    // --- X5: base64 graph directory names (split-graphs.sh:88-97)
+    "q_x5_base64_dirs" -> ((s, dir) => {
+      t(s, dir, "documents").select("source").distinct()
+        .withColumn("b64", base64(col("source").cast("binary")))
+    }),
+
+    // --- X6/X7: checkpoint-id extraction + timestamp reformat
+    "q_x6_checkpoint_ids" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("fname", concat(lit("rdf_out_"),
+          date_format(col("ts"), "yyyyMMddHHmmss"), lit("-"),
+          lpad(col("event_id").cast("string"), 14, "0")))
+        .withColumn("cp", regexp_extract(col("fname"), "([0-9]{14})", 1))
+        .withColumn("iso", date_format(to_timestamp(col("cp"), "yyyyMMddHHmmss"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .select("event_id", "fname", "cp", "iso")
+    }),
+
+    // --- T2: checkpoint watermark filter (parse_trx_logs.sql:57-58)
+    "q_t2_watermark_filter" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("ts") > lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          date_format(max("ts"), "yyyyMMddHHmmss").as("max_ts14"))
+    }),
+
+    // --- KG: mention detection over documents (typed pipeline on testdata)
+    "q_kg_mentions" -> ((s, dir) => {
+      val surfaces = docEntities.map(_._1) ++ Seq("part")
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("surface"))
+        .filter(col("surface").isin(surfaces: _*))
+        .distinct()
+    }),
+
+    // --- KG: dictionary + context entity-link disambiguation
+    "q_kg_link_disambig" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("toks", array_distinct(split(col("text"), " ")))
+      docs.filter(array_contains(col("toks"), "part"))
+        .withColumn("sa", size(array_intersect(col("toks"),
+          array(ambCtxA.map(lit): _*))).cast("long"))
+        .withColumn("sb", size(array_intersect(col("toks"),
+          array(ambCtxB.map(lit): _*))).cast("long"))
+        .withColumn("entity",
+          when(col("sa") > col("sb"), "http://kg.example.org/entity/Part_physical")
+            .otherwise("http://kg.example.org/entity/Part_logical"))
+        .select("doc_id", "sa", "sb", "entity")
+    }),
+
+    // --- X1-X4: full patch-line serialization incl. the escape ladder
+    "q_kg_patchlines" -> ((s, dir) => {
+      import s.implicits._
+      val ents = docEntities.toDF("surface", "entity")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("surface"))
+        .join(broadcast(ents), Seq("surface"))
+        .distinct()
+        .withColumn("line", concat_ws(" ",
+          lit("+"),
+          concat(lit("<http://doc.example.org/"), col("doc_id"), lit(">")),
+          lit("<http://kg.example.org/ontology/mentions>"),
+          concat(lit("<"), col("entity"), lit(">")),
+          concat(lit("<http://graph.example.org/"), col("source"), lit(">")),
+          lit(".")))
+        .select("doc_id", "surface", "line")
+    }),
+
+    // --- X4: escape ladder itself, applied to synthesized gnarly strings
+    "q_x4_escaping" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("gnarly", concat(lit("a\\b\tc\nd\"e"), col("lang")))
+        .select(col("doc_id"), Escaping.escape(col("gnarly")).as("escaped"))
+    }),
+
+    // --- J5/north_star: connected components via iterative DF joins
+    "q_canon_connected_components" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .select(concat(lit("u"), col("user_id").cast("string")).as("src"),
+          concat(lit("t"), col("event_type")).as("dst"))
+        .distinct()
+      graft.canon.ConnectedComponents.run(s, edges)
+    }),
+
+    // --- dedup: exact (hash-groupBy)
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"))
+        .withColumn("group_size", col("group_size").cast("long"))
+    }),
+
+    // --- dedup: minhash signatures (portable hash; 4 of the 8 funcs shown)
+    "q_dedup_minhash_sig" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      (0 until 4).foldLeft(toks) { (df, i) =>
+        df.withColumn(s"h$i", array_min(transform(col("toks"), c => phash(c, i))))
+      }.select("doc_id", "h0", "h1", "h2", "h3")
+    }),
+
+    // --- dedup: minhash banded-LSH candidate pairs + agreement
+    "q_dedup_minhash_pairs" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val sigs = (0 until 4).foldLeft(toks) { (df, i) =>
+        df.withColumn(s"h$i", array_min(transform(col("toks"), c => phash(c, i))))
+      }.select("doc_id", "h0", "h1", "h2", "h3")
+      val bands = Seq(("h0", "h1"), ("h2", "h3"))
+      val pairs = bands.map { case (x, y) =>
+        val a = sigs.select(col("doc_id").as("a"), col(x).as("bx"), col(y).as("by"))
+        val b = sigs.select(col("doc_id").as("b"), col(x).as("bx"), col(y).as("by"))
+        a.join(b, Seq("bx", "by")).filter(col("a") < col("b")).select("a", "b")
+      }.reduce(_ unionByName _).distinct()
+      val sa = sigs.select(col("doc_id").as("a"), col("h0").as("a0"), col("h1").as("a1"),
+        col("h2").as("a2"), col("h3").as("a3"))
+      val sb = sigs.select(col("doc_id").as("b"), col("h0").as("b0"), col("h1").as("b1"),
+        col("h2").as("b2"), col("h3").as("b3"))
+      pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+        .withColumn("agree",
+          (col("a0") === col("b0")).cast("long") + (col("a1") === col("b1")).cast("long") +
+            (col("a2") === col("b2")).cast("long") + (col("a3") === col("b3")).cast("long"))
+        .select("a", "b", "agree")
+    }),
+
+    // --- dedup: 16-bit SimHash (portable)
+    "q_dedup_simhash" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val bitSums = (0 until 16).map { b =>
+        aggregate(col("toks"), lit(0L), (acc, c) =>
+          acc + when(shiftright(phash(c, 99), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      }
+      val fp = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+        acc.bitwiseOR(when(bitSums(b) > 0L, shiftleft(lit(1L), b)).otherwise(0L))
+      }
+      toks.select(col("doc_id"), fp.as("simhash"))
+    }),
+
+    // --- dedup: exact n-gram Jaccard with shared-shingle blocking
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.05,
+          maxBucket = 64)
+        .withColumn("jaccard_x1e4", fx4(col("jaccard"))).drop("jaccard")
+    }),
+
+    // --- dedup: embedding-cosine near-dup pairs (label-blocked)
+    "q_dedup_embed_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val l = e.select(col("label").as("blk"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val r = e.select(col("label").as("blk"), col("vec_id").as("b"), col("embedding").as("eb"))
+      l.join(r, Seq("blk")).filter(col("a") < col("b"))
+        .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+        .filter(col("sim") >= 0.25)
+        .select(col("a"), col("b"), fx4(col("sim")).as("sim_x1e4"))
+    }),
+
+    // --- ANN: brute-force cosine top-k (exact baseline)
+    "q_ann_brute_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), 3)
+        .withColumn("sim_x1e4", fx4(col("sim"))).drop("sim")
+    }),
+
+    // --- ANN: sign-LSH bucketed top-k (scale path)
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      Similarity.lshTopK(t(s, dir, "embeddings").filter(col("vec_id") < 200), 3, planes = 6)
+        .withColumn("sim_x1e4", fx4(col("sim"))).drop("sim")
+    }),
+
+    // --- text: token/quality stats (integer-exact)
+    "q_txt_token_stats" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, c => c.isin(TextAnalysis.stopwords: _*))).cast("long").as("n_stopwords"),
+        aggregate(toks, lit(0), (acc, c) => greatest(acc, length(c))).cast("long").as("max_token_len"))
+    }),
+
+    // --- text: language id by marker voting
+    "q_txt_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
+    }),
+
+    // --- text: rolling polynomial fingerprint (mod 1e9+7, portable)
+    "q_txt_fingerprint" -> ((s, dir) => {
+      val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+      t(s, dir, "documents").select(col("doc_id"),
+        aggregate(split(norm, ""), lit(0L),
+          (acc, c) => pmod(acc * 31L + coalesce(ascii(c).cast("long"), lit(0L)),
+            lit(1000000007L))).as("fp"))
+    }),
+
+    // --- multimodal: binary payload plumbing + stubbed decode metadata
+    "q_mm_media_meta" -> ((s, dir) => {
+      val media = Multimodal.withFakePayload(t(s, dir, "documents"))
+      Multimodal.metaColumns(media)
+        .withColumn("byte_len", col("byte_len").cast("long"))
+    }),
+
+    // --- headline star-join aggregate (exact DECIMAL, emitted as cents)
+    "q_agg_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000d + 0.5d)
+            .cast("long")).as("revenue_c4"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // --- O1: cluster output by graph (ORDER BY ?g analogue)
+    "q_o1_cluster_by_graph" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select("source", "lang", "doc_id")
+        .orderBy("source", "lang", "doc_id")
+    }),
+
+    // --- end-to-end (rows-only check; no SQL oracle): bootstrap patch set
+    "q_pipeline_bootstrap" -> ((s, dir) => {
+      import s.implicits._
+      val pages = graft.sources.PageGen.snapshot(s, 200, 0)
+      new graft.streaming.QuadLogPipeline(s, "/tmp/graft_q_pipeline", numBuckets = 8)
+        .extractedQuads(pages).withColumn("op", lit("+"))
+    })
+  )
+
+  // =====================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q_s1_scan_filter" ->
+      """SELECT doc_id, source, n_chars::BIGINT AS n_chars FROM documents
+        |WHERE source NOT IN ('src0','src3')""".stripMargin,
+
+    "q_f2_opcode_map" ->
+      """SELECT op, count(*)::BIGINT AS n FROM (
+        |  SELECT CASE WHEN event_type IN ('click','signup','purchase') THEN '+'
+        |              WHEN event_type = 'error' THEN '-' END AS op FROM events)
+        |WHERE op IS NOT NULL GROUP BY op""".stripMargin,
+
+    "q_j4_graph_exclusion" ->
+      """SELECT event_type, count(*)::BIGINT AS n FROM events
+        |WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE value > 190)
+        |GROUP BY event_type""".stripMargin,
+
+    "q_a1_quads_per_graph" ->
+      """SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_a5_running_totals" ->
+      """SELECT source, n, sum(n) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING)::BIGINT
+        |  AS running_total
+        |FROM (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source)""".stripMargin,
+
+    "q_j1_diff_changelog" ->
+      """WITH prev AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0),
+        |     nxt  AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 5 <> 0),
+        |     tagged AS (SELECT *, -1 AS w FROM prev UNION ALL SELECT *, 1 AS w FROM nxt)
+        |SELECT o_orderkey, o_orderpriority,
+        |       CASE WHEN sum(w) > 0 THEN '+' ELSE '-' END AS op
+        |FROM tagged GROUP BY o_orderkey, o_orderpriority HAVING sum(w) <> 0""".stripMargin,
+
+    "q_w1_chunking" ->
+      """SELECT doc_id, source,
+        |       ((row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 25)::BIGINT AS chunk
+        |FROM documents""".stripMargin,
+
+    "q_w2_packaging" ->
+      """SELECT (doc_id // 100)::BIGINT AS batch, count(*)::BIGINT AS n_files,
+        |       (count(*) = 100)::INT AS is_complete
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_x5_base64_dirs" ->
+      """SELECT DISTINCT source, to_base64(encode(source)) AS b64 FROM documents""".stripMargin,
+
+    "q_x6_checkpoint_ids" ->
+      """SELECT event_id,
+        |       'rdf_out_' || strftime(ts, '%Y%m%d%H%M%S') || '-' || lpad(event_id::VARCHAR, 14, '0') AS fname,
+        |       strftime(ts, '%Y%m%d%H%M%S') AS cp,
+        |       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso
+        |FROM events""".stripMargin,
+
+    "q_t2_watermark_filter" ->
+      """SELECT event_type, count(*)::BIGINT AS n, strftime(max(ts), '%Y%m%d%H%M%S') AS max_ts14
+        |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00' GROUP BY event_type""".stripMargin,
+
+    "q_kg_mentions" ->
+      """SELECT DISTINCT doc_id, tok AS surface
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok IN ('spark','join','window','vector','customer','part')""".stripMargin,
+
+    "q_kg_link_disambig" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('table','scan','merge')))::BIGINT AS sa,
+        |  len(list_filter(toks, x -> x IN ('small','big','value')))::BIGINT AS sb,
+        |  CASE WHEN len(list_filter(toks, x -> x IN ('table','scan','merge'))) >
+        |            len(list_filter(toks, x -> x IN ('small','big','value')))
+        |       THEN 'http://kg.example.org/entity/Part_physical'
+        |       ELSE 'http://kg.example.org/entity/Part_logical' END AS entity
+        |FROM d WHERE list_contains(toks, 'part')""".stripMargin,
+
+    "q_kg_patchlines" ->
+      """WITH m AS (SELECT DISTINCT doc_id, lang, source, tok AS surface FROM
+        |  (SELECT doc_id, lang, source, unnest(string_split(text,' ')) AS tok FROM documents)
+        |  WHERE tok IN ('spark','join','window','vector','customer')),
+        |e(surface, entity) AS (VALUES
+        |  ('spark','http://kg.example.org/entity/Spark'),
+        |  ('join','http://kg.example.org/entity/Join'),
+        |  ('window','http://kg.example.org/entity/Window'),
+        |  ('vector','http://kg.example.org/entity/Vector'),
+        |  ('customer','http://kg.example.org/entity/Customer'))
+        |SELECT m.doc_id, m.surface,
+        |  '+ <http://doc.example.org/' || m.doc_id || '> ' ||
+        |  '<http://kg.example.org/ontology/mentions> ' ||
+        |  '<' || e.entity || '> ' ||
+        |  '<http://graph.example.org/' || m.source || '> .' AS line
+        |FROM m JOIN e ON m.surface = e.surface""".stripMargin,
+
+    "q_x4_escaping" ->
+      ("""SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(replace(
+        |    'a\b' || chr(9) || 'c' || chr(10) || 'd"e' || lang,
+        |    '\', '\\'), chr(7), '\a'), chr(8), '\b'), chr(9), '\t'),
+        |    chr(10), '\n'), chr(12), '\f'), chr(13), '\r'), '"', '\"') AS escaped
+        |FROM documents""").stripMargin,
+
+    "q_canon_connected_components" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 'u' || user_id::VARCHAR AS src, 't' || event_type AS dst FROM events),
+        |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM und
+        |  UNION
+        |  SELECT reach.id, u.dst FROM reach JOIN und u ON reach.r = u.src)
+        |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents),
+        |g AS (SELECT digest, min(doc_id) AS canonical_id, count(*)::BIGINT AS group_size
+        |      FROM h GROUP BY digest)
+        |SELECT h.doc_id, g.canonical_id, g.group_size FROM h JOIN g USING (digest)""".stripMargin,
+
+    "q_dedup_minhash_sig" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents)
+        |SELECT doc_id,
+        |  list_min(list_transform(toks, t -> ('0x'||substr(md5(t||'#0'),1,15))::BIGINT)) AS h0,
+        |  list_min(list_transform(toks, t -> ('0x'||substr(md5(t||'#1'),1,15))::BIGINT)) AS h1,
+        |  list_min(list_transform(toks, t -> ('0x'||substr(md5(t||'#2'),1,15))::BIGINT)) AS h2,
+        |  list_min(list_transform(toks, t -> ('0x'||substr(md5(t||'#3'),1,15))::BIGINT)) AS h3
+        |FROM d""".stripMargin,
+
+    "q_dedup_minhash_pairs" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents),
+        |sigs AS (SELECT doc_id,
+        |  list_min(list_transform(toks, t -> ('0x'||substr(md5(t||'#0'),1,15))::BIGINT)) AS h0,
+        |  list_min(list_transform(toks, t -> ('0x'||substr(md5(t||'#1'),1,15))::BIGINT)) AS h1,
+        |  list_min(list_transform(toks, t -> ('0x'||substr(md5(t||'#2'),1,15))::BIGINT)) AS h2,
+        |  list_min(list_transform(toks, t -> ('0x'||substr(md5(t||'#3'),1,15))::BIGINT)) AS h3
+        | FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b FROM sigs a JOIN sigs b
+        |    ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b
+        |    ON a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id)
+        |SELECT p.a, p.b,
+        |  ((sa.h0 = sb.h0)::BIGINT + (sa.h1 = sb.h1)::BIGINT +
+        |   (sa.h2 = sb.h2)::BIGINT + (sa.h3 = sb.h3)::BIGINT) AS agree
+        |FROM pairs p JOIN sigs sa ON p.a = sa.doc_id JOIN sigs sb ON p.b = sb.doc_id""".stripMargin,
+
+    "q_dedup_simhash" -> {
+      val bitSum = (b: Int) =>
+        s"list_sum(list_transform(toks, t -> CASE WHEN ((('0x'||substr(md5(t||'#99'),1,15))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END))"
+      val fp = (0 until 16)
+        .map(b => s"(CASE WHEN ${bitSum(b)} > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents)
+         |SELECT doc_id, ($fp)::BIGINT AS simhash FROM d""".stripMargin
+    },
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(1, greatest(len(string_split(text,' '))-2,0)+1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]),
+        |    x -> len(x) > 0)) AS toks FROM documents),
+        |t2 AS (SELECT * FROM t WHERE len(toks) > 0),
+        |sizes AS (SELECT doc_id, len(toks)::BIGINT AS n_toks FROM t2),
+        |ex AS (SELECT doc_id, unnest(toks) AS sh FROM t2),
+        |rare AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 64),
+        |pruned AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare USING (sh)),
+        |common AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS inter
+        |  FROM pruned l JOIN pruned r ON l.sh = r.sh AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, floor(inter::DOUBLE / (sa.n_toks + sb.n_toks - inter) * 10000 + 0.5)::BIGINT AS jaccard_x1e4
+        |FROM common JOIN sizes sa ON common.a = sa.doc_id JOIN sizes sb ON common.b = sb.doc_id
+        |WHERE inter::DOUBLE / (sa.n_toks + sb.n_toks - inter) >= 0.05""".stripMargin,
+
+    "q_dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5)::BIGINT AS sim_x1e4
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25""".stripMargin,
+
+    "q_ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        |scored AS (SELECT q.q_id, e.vec_id AS n_id,
+        |    list_cosine_similarity(q.q_emb, e.embedding) AS sim
+        |  FROM q CROSS JOIN embeddings e WHERE q.q_id <> e.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, rank::BIGINT AS rank, floor(sim*10000 + 0.5)::BIGINT AS sim_x1e4
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_ann_lsh_topk" -> {
+      val bucket = (p: String) => (0 until 6)
+        .map(i => s"(CASE WHEN $p.embedding[${i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+         |b AS (SELECT vec_id, embedding, ${bucket("e")} AS bucket FROM e),
+         |scored AS (SELECT l.vec_id AS q_id, r.vec_id AS n_id,
+         |    list_cosine_similarity(l.embedding, r.embedding) AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, rank::BIGINT AS rank, floor(sim*10000 + 0.5)::BIGINT AS sim_x1e4
+         |FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    "q_txt_token_stats" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_chars,
+        |  len(string_split(text,' '))::BIGINT AS n_tokens,
+        |  len(list_filter(string_split(text,' '),
+        |      x -> x IN ('the','a','of','and','to','in','is','de','la','el')))::BIGINT AS n_stopwords,
+        |  list_max(list_transform(string_split(text,' '), x -> length(x)))::BIGINT AS max_token_len
+        |FROM documents""".stripMargin,
+
+    "q_txt_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','und'))) AS s_de,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of'))) AS s_en,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('el','la','de'))) AS s_es,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','et'))) AS s_fr,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('de','het','een'))) AS s_nl
+        | FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_nl THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_nl THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_nl THEN 'es'
+        |  WHEN s_fr >= s_nl THEN 'fr' ELSE 'nl' END AS lang_guess
+        |FROM s""".stripMargin,
+
+    "q_txt_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(0::BIGINT, list_transform(
+        |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ''),
+        |    c -> ascii(c)::BIGINT)),
+        |  (a, c) -> (a * 31 + c) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_mm_media_meta" ->
+      """SELECT doc_id,
+        |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+        |  octet_length(encode(text))::BIGINT AS byte_len,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+
+    "q_agg_star_join" ->
+      """SELECT n_name,
+        |  sum(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5)::BIGINT)::BIGINT
+        |    AS revenue_c4,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_o1_cluster_by_graph" ->
+      """SELECT source, lang, doc_id FROM documents ORDER BY source, lang, doc_id""".stripMargin
+  )
 }

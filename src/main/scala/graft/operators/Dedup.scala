@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over a `documents`-shaped
+  * table (doc_id, text, ...). Five strategies, all declarative:
+  *
+  *  - exact: hash-groupBy on md5(text) — ONE shuffle keyed by digest
+  *    (uniform, skew-free by construction).
+  *  - minhash + banded LSH: shingle -> per-function min -> band buckets ->
+  *    bucket self-join. The candidate join is keyed by (band, bucket), never
+  *    by raw content, so hot shingles don't create hot partitions.
+  *  - simhash: 64-bit sign-aggregated fingerprint; near-dups = equal
+  *    fingerprints on rotated bands (Hamming-adjacent blocking).
+  *  - n-gram Jaccard: exact verification on shingle sets, blocked by a
+  *    shared-shingle join with per-pair combine, for candidate pairs.
+  *  - embedding cosine: see [[Similarity]]; near-dup = cosine above a
+  *    threshold within LSH sign-buckets.
+  *
+  * At 10^12 docs the only quadratic danger is the candidate pair space; every
+  * operator here bounds it by blocking (band buckets / fingerprints), which
+  * is the standard web-scale recipe.
+  */
+object Dedup {
+
+  /** Whitespace shingles of length n over `textCol` (word n-grams). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => length(s) > 0))
+  }
+
+  /** Exact dedup: canonical = min doc_id per identical text digest.
+    * Returns (doc_id, canonical_id, group_size). */
+  def exact(docs: DataFrame): DataFrame = {
+    val withHash = docs.select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("digest"))
+    val groups = withHash.groupBy("digest")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+    withHash.join(groups, Seq("digest"))
+      .select("doc_id", "canonical_id", "group_size")
+  }
+
+  /** MinHash signatures over word-`n`-gram shingles.
+    * (id, sig: array<bigint>) with `numHashes` functions. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val withToks = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("toks"))
+      .filter(size(col("toks")) > 0)
+    graft.canon.MinHashBlocking.signatures(withToks, numHashes)
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs (a < b), verified by
+    * signature agreement >= `minAgree` of `numHashes` (estimated Jaccard). */
+  def minhashPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+                   bands: Int = 8, minAgree: Int = 12): DataFrame = {
+    val sigs = minhashSignatures(docs, "doc_id", "text", n, numHashes)
+    val pairs = graft.canon.MinHashBlocking.candidatePairs(sigs, bands, numHashes / bands)
+    val sa = sigs.select(col("id").as("a"), col("sig").as("siga"))
+    val sb = sigs.select(col("id").as("b"), col("sig").as("sigb"))
+    pairs.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("agree",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b)))
+      .filter(col("agree") >= minAgree)
+      .select(col("a"), col("b"), (col("agree") / numHashes.toDouble).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over word shingles: bit b of the fingerprint is the sign
+    * of sum over shingles of (+1 if bit b of xxhash64(shingle) else -1).
+    * Pure expressions: per-bit sums via aggregate(), no UDF. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+              bits: Int = 64): DataFrame = {
+    val withToks = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), 2).as("toks"))
+    // bit b counter: sum(+-1) over tokens; fingerprint bit = (count > 0)
+    val bitCols = (0 until bits).map { b =>
+      aggregate(col("toks"), lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+    }
+    val fp = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc.bitwiseOR(when(bitCols(b) > 0, shiftleft(lit(1L), b)).otherwise(0L))
+    }
+    withToks.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs blocked by a shared rare
+    * shingle. The shared-shingle join is bounded per shingle by `maxBucket`
+    * (drop ubiquitous shingles — the classic stopword-block guard, and the
+    * explicit skew handling: a shingle appearing in 10^6 docs would
+    * otherwise create 10^12 pairs). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        maxBucket: Int = 64): DataFrame = {
+    val toks = docs.select(col("doc_id"), shingles(col("text"), n).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val sizes = toks.select(col("doc_id"), size(col("toks")).as("n_toks"))
+    val exploded = toks.select(col("doc_id"), explode(col("toks")).as("sh"))
+    val rare = exploded.groupBy("sh").count().filter(col("count") <= maxBucket)
+    val pruned = exploded.join(rare.select("sh"), Seq("sh"), "left_semi")
+    val l = pruned.select(col("sh"), col("doc_id").as("a"))
+    val r = pruned.select(col("sh"), col("doc_id").as("b"))
+    val common = l.join(r, Seq("sh")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n_toks").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_toks").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Full near-dup clustering: pairs -> connected components -> canonical id
+    * per cluster (min doc id). */
+  def clusters(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame =
+    graft.canon.ConnectedComponents.run(spark,
+      pairs.select(col("a").cast("string").as("src"), col("b").cast("string").as("dst")))
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation over a documents
+  * table. Everything is a Column expression (whole-stage codegen; zero UDFs)
+  * so the scan -> score pipeline runs in one pass with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword count: word-ish runs + digits + punctuation as separate
+    * tokens (a cheap deterministic proxy for a BPE tokenizer's token count).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => length(t) > 0))
+
+  /** Language id by stopword-marker voting: per language, count occurrences
+    * of its marker words; winner = argmax (ties -> lexicographically first
+    * language, deterministic). Returns the guessed code. This is the n-gram
+    * heuristic shape — markers are unigrams so an oracle can reproduce it. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "nl" -> Seq("de", "het", "een"))
+
+  def markerScore(text: Column, words: Seq[String]): Column = {
+    val toks = split(text, " ")
+    words.map(wd => size(filter(toks, t => t === lit(wd)))).reduce(_ + _)
+  }
+
+  def langGuess(text: Column): Column = {
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(markerScore(text, ws).as("score"), lit(lang).as("lang"))
+    }
+    // argmax with deterministic tie-break: sort by (score desc, lang asc)
+    val best = array_sort(array(scored: _*),
+      (l, r) => when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .when(l.getField("lang") < r.getField("lang"), -1)
+        .when(l.getField("lang") > r.getField("lang"), 1)
+        .otherwise(0))
+    element_at(best, 1).getField("lang")
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "de", "la", "el")
+
+  /** Quality metrics, all integer-exact (ratios are left to the consumer so
+    * cross-engine comparison is bit-exact): n_chars, n_tokens, n_stopwords,
+    * n_punct, n_upper, max token length. */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stopwords",
+        size(filter(toks, x => x.isin(stopwords: _*))))
+      .withColumn("n_punct", size(split(t, "[\\.,;:!?]")) - 1)
+      .withColumn("max_token_len",
+        aggregate(toks, lit(0), (acc, x) => greatest(acc, length(x))))
+  }
+
+  /** Rolling polynomial fingerprint of the normalized text (lower, collapsed
+    * whitespace): f = sum c_i * 31^i mod 2^64 via aggregate — a document
+    * fingerprint reproducible in any engine with 64-bit ints. */
+  def fingerprint(text: Column): Column = {
+    val norm = lower(regexp_replace(text, "\\s+", " "))
+    aggregate(split(norm, ""), lit(0L), (acc, ch) =>
+      acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)))
+  }
+}

@@ -25,11 +25,15 @@ object QuadDiff {
   /** Set-semantics diff: rows in `next` not in `prev` -> op '+', rows in
     * `prev` not in `next` -> op '-'. Inputs may carry duplicates; the signed
     * sum handles multiplicity (delta sign decides the op). */
-  def diff(prev: DataFrame, next: DataFrame): DataFrame = {
-    val p = prev.select(quadCols.map(col): _*).withColumn("w", lit(-1L))
-    val n = next.select(quadCols.map(col): _*).withColumn("w", lit(1L))
+  def diff(prev: DataFrame, next: DataFrame): DataFrame =
+    diffOn(prev, next, quadCols)
+
+  /** Generic signed-multiset diff on arbitrary key columns. */
+  def diffOn(prev: DataFrame, next: DataFrame, cols: Seq[String]): DataFrame = {
+    val p = prev.select(cols.map(col): _*).withColumn("w", lit(-1L))
+    val n = next.select(cols.map(col): _*).withColumn("w", lit(1L))
     p.unionByName(n)
-      .groupBy(quadCols.map(col): _*)
+      .groupBy(cols.map(col): _*)
       .agg(sum(col("w")).as("delta"))
       .filter(col("delta") =!= 0L)
       .withColumn("op", when(col("delta") > 0, lit("+")).otherwise(lit("-")))

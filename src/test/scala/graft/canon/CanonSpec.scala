@@ -1,0 +1,79 @@
+package graft.canon
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("chain + separate component + singleton-free vertices") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("src", "dst")
+    val comps = ConnectedComponents.run(spark, edges)
+      .as[(String, String)].collect().toMap
+    assert(Seq("a", "b", "c", "d").forall(comps(_) == "a"))
+    assert(comps("x") == "x" && comps("y") == "x")
+  }
+
+  test("hub-star graph (skew shape) converges") {
+    val hub = (1 to 500).map(i => ("hub", s"n$i"))
+    val comps = ConnectedComponents.run(spark, hub.toDF("src", "dst"))
+    assert(comps.select("component").distinct().count() == 1)
+    assert(comps.count() == 501)
+  }
+
+  test("two merged rings") {
+    val ring1 = (0 until 6).map(i => (s"r${i}", s"r${(i + 1) % 6}"))
+    val ring2 = (0 until 6).map(i => (s"q${i}", s"q${(i + 1) % 6}"))
+    val bridge = Seq(("r0", "q0"))
+    val comps = ConnectedComponents.run(spark, (ring1 ++ ring2 ++ bridge).toDF("src", "dst"))
+    assert(comps.select("component").distinct().count() == 1)
+  }
+}
+
+class CanonicalizerSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("alias IRIs (entity vs alt namespace) merge into one canonical id") {
+    val iris = graft.sources.PageGen.dictionary.take(4).flatMap(e =>
+      Seq(e.iri, graft.sources.PageGen.aliasIri(e.iri))).toDF("id")
+    val cmap = IriCanonicalizer.canonicalMap(spark, iris)
+    val pairs = cmap.as[(String, String)].collect().toMap
+    graft.sources.PageGen.dictionary.take(4).foreach { e =>
+      assert(pairs(e.iri) == pairs(graft.sources.PageGen.aliasIri(e.iri)),
+        s"alias of ${e.iri} not merged")
+    }
+    // distinct entities must NOT merge
+    val canonOf = graft.sources.PageGen.dictionary.take(4).map(e => pairs(e.iri))
+    assert(canonOf.distinct.size == 4, "distinct entities wrongly merged")
+  }
+
+  test("canonicalize rewrites subject and IRI-object but not literals") {
+    val cmap = Seq(("http://kg.example.org/alt/X", "http://kg.example.org/entity/X"))
+      .toDF("id", "canonical")
+    val quads = Seq(
+      ("http://kg.example.org/alt/X", "http://p", "http://kg.example.org/alt/X", 0, "", "", "http://g"),
+      ("http://s", "http://p", "http://kg.example.org/alt/X", 2, "", "", "http://g")) // literal!
+      .toDF("s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
+    val out = IriCanonicalizer.canonicalize(quads, cmap)
+      .select("s", "oLex", "oKind").as[(String, String, Int)].collect().toSet
+    assert(out == Set(
+      ("http://kg.example.org/entity/X", "http://kg.example.org/entity/X", 0),
+      ("http://s", "http://kg.example.org/alt/X", 2)))
+  }
+}
+
+class MinHashBlockingSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("identical token sets collide in every band; disjoint sets in none") {
+    val docs = Seq(
+      ("a", Seq("x", "y", "z", "w")),
+      ("b", Seq("x", "y", "z", "w")),
+      ("c", Seq("p", "q", "r", "s"))).toDF("id", "toks")
+    val sigs = MinHashBlocking.signatures(docs, 16)
+    val pairs = MinHashBlocking.candidatePairs(sigs, 8, 2)
+      .as[(String, String)].collect().toSet
+    assert(pairs.contains(("a", "b")))
+    assert(!pairs.exists(p => p._1 == "c" || p._2 == "c"))
+  }
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.GraftSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different words appear in this text here"),
+    (5L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min id") {
+    val res = Dedup.exact(docs).as[(Long, Long, Long)].collect().toMap
+      .map { case (id, c) => id -> c }
+    val rows = Dedup.exact(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet.contains((1L, 1L, 2L)) && rows.toSet.contains((2L, 1L, 2L)))
+    assert(rows.count(_._3 == 1L) == 3)
+  }
+
+  test("minhash-LSH finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.minhashPairs(docs, n = 2, numHashes = 16, bands = 8, minAgree = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical -> all bands agree
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs get identical fingerprints; unrelated differ") {
+    val fp = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(5L))
+    // near-dup is Hamming-close
+    val ham = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val far = java.lang.Long.bitCount(fp(1L) ^ fp(5L))
+    assert(ham < far, s"hamming near=$ham far=$far")
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, near dup high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 2, threshold = 0.3, maxBucket = 10)
+      .as[(Long, Long, Double)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.keys.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("clusters: dup group resolves to one component") {
+    val pairs = Dedup.minhashPairs(docs, n = 2, numHashes = 16, bands = 8, minAgree = 6)
+    val comps = Dedup.clusters(spark, pairs).as[(String, String)].collect().toMap
+    assert(comps("1") == comps("2") && comps("2") == comps("3"))
+  }
+}
+
+class SimilaritySpec extends GraftSpec {
+  import spark.implicits._
+
+  // deterministic embeddings: orthogonal-ish with one near-duplicate pair
+  private def vec(seed: Int): Seq[Float] =
+    (0 until 16).map(i => (((seed * 31 + i * 17) % 7) - 3).toFloat / 3f)
+  private val em = (Seq((0L, vec(1)), (1L, vec(1).map(v => v * 0.99f)), (2L, vec(5)),
+    (3L, vec(9)), (4L, vec(13))) ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: the near-duplicate is rank 1 with sim ~ 1") {
+    val res = Similarity.bruteForceTopK(em, em.filter($"vec_id" === 0), 2)
+      .as[(Long, Long, Int, Double)].collect()
+    val top = res.find(_._3 == 1).get
+    assert(top._2 == 1L && top._4 > 0.999)
+  }
+
+  test("lsh top-k agrees with brute force for same-bucket vectors") {
+    val brute = Similarity.bruteForceTopK(em, em, 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(em, 1, planes = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    // 0 and 1 share sign pattern -> found in both
+    assert(lsh.get(0L) == brute.get(0L) || lsh.get(0L).contains(1L))
+  }
+
+  test("cosine near-dup pairs finds only the planted pair at high threshold") {
+    val withLabel = em.withColumn("label", lit(0))
+    val pairs = Similarity.cosineNearDupPairs(withLabel, 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
+
+class TextAnalysisSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("language id picks the marker-dominant language deterministically") {
+    val df = Seq(
+      (1L, "the cat of a house the end"),     // en
+      (2L, "el gato de la casa de la calle"), // es
+      (3L, "der hund und die katze und der"), // de
+      (4L, "xx yy zz")).toDF("doc_id", "text") // no markers -> tie -> 'de' (lex first)
+    val got = df.select($"doc_id", TextAnalysis.langGuess($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "de" && got(4L) == "de")
+  }
+
+  test("quality metrics are integer-exact") {
+    val m = TextAnalysis.qualityMetrics(Seq((1L, "the big, big dog")).toDF("doc_id", "text"))
+      .select("n_chars", "n_tokens", "n_stopwords", "n_punct", "max_token_len")
+      .head()
+    assert(m.getInt(0) == 16 && m.getInt(1) == 4 && m.getInt(2) == 1 &&
+      m.getInt(3) == 1 && m.getInt(4) == 4)
+  }
+
+  test("fingerprint: stable, whitespace-normalized, case-insensitive") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val fp = df.select($"doc_id", TextAnalysis.fingerprint($"text")).as[(Long, Long)]
+      .collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("token counting: whitespace and subword variants") {
+    val df = Seq((1L, "don't stop, believing 123")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.subwordCount($"text")).head()
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) > 4) // punctuation splits add tokens
+  }
+}
+
+class MultimodalSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+    .toDF("doc_id", "text")
+
+  test("binary payload plumbing: schema, determinism, metadata extraction") {
+    val media = Multimodal.withFakePayload(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val metas = Multimodal.extractMeta(spark, media).collect().sortBy(_.doc_id)
+    assert(metas.length == 4)
+    assert(metas.map(_.kind).toSeq == Seq("image", "audio", "video", "image"))
+    // deterministic: second run identical
+    val again = Multimodal.extractMeta(spark, media).collect().sortBy(_.doc_id)
+    assert(metas.toSeq == again.toSeq)
+    // declarative path agrees on byte length
+    val viaCols = Multimodal.metaColumns(media).select("doc_id", "byte_len")
+      .as[(Long, Int)].collect().toMap
+    assert(metas.forall(m => viaCols(m.doc_id) == m.byte_len))
+  }
+
+  test("frame-sample plan explodes stubbed frame counts with stride") {
+    val media = Multimodal.withFakePayload(docs)
+    val frames = Multimodal.frameSamplePlan(spark, media, stride = 10)
+    val byDoc = frames.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc.nonEmpty)
+    assert(frames.select("frame").as[Int].collect().forall(f => f % 10 == 0))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.GraftSpec
+import graft.plans.QuadDiff
+import graft.sources.PageGen
+import graft.extract.TextExtractor
+import org.apache.spark.sql.functions._
+
+/** End-to-end: bootstrap dump -> incremental batches over evolving page
+  * snapshots; verifies the reference's core invariants (SURVEY.md §5):
+  * reconciliation (A7), diff correctness (J1), idempotent re-run (T8),
+  * resume-from-checkpoint equals single-run output (T2). */
+class PipelineSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val N = 120L
+
+  test("byte-identical text extraction per url (input_hint invariant)") {
+    val pages = PageGen.snapshot(spark, 200, 0)
+    val checked = TextExtractor.withExtracted(pages.toDF())
+    assert(checked.filter(!col("text_ok")).count() == 0)
+    // scala mirror == column form
+    val p = PageGen.pageFor(7, 0)
+    assert(TextExtractor.extractText(p.html) == p.text)
+  }
+
+  test("bootstrap + two incremental batches keep state == full re-extraction") {
+    val root = tmpDir("graft_e2e")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 8, canonicalize = false)
+    val s0 = PageGen.snapshot(spark, N, 0)
+    val r0 = pipe.bootstrap(s0, epoch = "e1", checkpoint = "00000000000000")
+    assert(r0.added > 0 && r0.files > 0)
+
+    // invariant after bootstrap: facts == extraction of snapshot 0
+    assert(QuadDiff.diff(pipe.currentQuads, pipe.extractedQuads(s0)).count() == 0)
+
+    for (snap <- 1 to 2) {
+      val prev = PageGen.snapshot(spark, N, snap - 1).collect().map(p => p.url -> p).toMap
+      val cur = PageGen.snapshot(spark, N, snap)
+      val curMap = cur.collect().map(p => p.url -> p).toMap
+      val changed = cur.filter(p =>
+        !prev.contains(p.url) || prev(p.url).text != p.text)
+      val deleted = spark.createDataset(
+        prev.keys.filterNot(curMap.contains).toSeq)
+      val r = pipe.incremental(snap.toLong, f"2024010${snap + 1}%s000000", changed, deleted)
+      // reconciliation: incremental state == full extraction of current snapshot
+      val expected = pipe.extractedQuads(cur)
+      val drift = QuadDiff.diff(pipe.currentQuads, expected)
+      assert(drift.count() == 0, s"state drift at snapshot $snap")
+      assert(r.added + r.deleted > 0, "synthetic churn should produce patches")
+    }
+
+    // idempotent re-run of an already-committed batch is a no-op (T8)
+    val again = pipe.incremental(2L, "20240103000000",
+      PageGen.snapshot(spark, N, 2).limit(5), spark.emptyDataset[String])
+    assert(again.added == 0 && again.deleted == 0)
+  }
+
+  test("patch files parse back and reconcile with lineage counts") {
+    val root = tmpDir("graft_patches")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = false, maxq = 50)
+    val s0 = PageGen.snapshot(spark, 40, 0)
+    val r0 = pipe.bootstrap(s0, "e1", "00000000000000")
+    val lines = spark.read.textFile(s"$root/patches/batch_0/*")
+    val bodies = lines.filter(l => l.startsWith("+") || l.startsWith("-"))
+    assert(bodies.count() == r0.added)
+    // headers present
+    assert(lines.filter(_.startsWith("# at checkpoint")).count() > 0)
+    // every body line round-trips through the parser
+    val parsed = bodies.map(l => graft.rdf.NTriplesParser.parseLine(l, "x").isDefined)
+    assert(parsed.filter(b => !b).count() == 0)
+    // file naming follows rdf_out_<cp14>-<serial14>
+    val fs = new java.io.File(s"$root/patches/batch_0")
+    val files = fs.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .map(_.getName).filter(!_.startsWith("."))
+    assert(files.nonEmpty && files.forall(_.matches("rdf_out_00000000000000-\\d{14}")))
+    // lineage recorded per bucket with counts
+    val lin = pipe.lineage
+    assert(lin.filter(col("batchId") === 0).agg(max("added")).head().getLong(0) == r0.added)
+  }
+
+  test("resume: re-running from committed state equals single-run output") {
+    val rootA = tmpDir("graft_resumeA")
+    val rootB = tmpDir("graft_resumeB")
+    val a = new QuadLogPipeline(spark, rootA, numBuckets = 4, canonicalize = false)
+    val b = new QuadLogPipeline(spark, rootB, numBuckets = 4, canonicalize = false)
+    val s0 = PageGen.snapshot(spark, 60, 0)
+    val s1 = PageGen.snapshot(spark, 60, 1)
+    val prev = s0.collect().map(p => p.url -> p).toMap
+    val curMap = s1.collect().map(p => p.url -> p).toMap
+    val changed = s1.filter(p => !prev.contains(p.url) || prev(p.url).text != p.text)
+    val deleted = spark.createDataset(prev.keys.filterNot(curMap.contains).toSeq)
+
+    a.bootstrap(s0, "e1", "00000000000000")
+    a.incremental(1, "20240102000000", changed, deleted)
+
+    b.bootstrap(s0, "e1", "00000000000000")
+    // simulate crash-and-resume: a NEW pipeline object over the same root
+    val b2 = new QuadLogPipeline(spark, rootB, numBuckets = 4, canonicalize = false)
+    b2.incremental(1, "20240102000000", changed, deleted)
+
+    assert(QuadDiff.diff(a.currentQuads, b2.currentQuads).count() == 0)
+  }
+}
