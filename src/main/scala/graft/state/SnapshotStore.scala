@@ -134,9 +134,10 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     }
   }
 
-  /** Read the full latest snapshot (None if store empty). */
+  /** Read the full latest snapshot (None if store empty or all buckets
+    * emptied). */
   def read(): Option[DataFrame] =
-    latest.map { id => load(readManifest(id).toSeq).getOrElse(emptyLike(id)) }
+    latest.flatMap { id => load(readManifest(id).toSeq) }
 
   /** Read only the given buckets of the latest snapshot — the incremental-
     * read path: IO ∝ touched buckets, not table size. */
@@ -144,9 +145,6 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     val m = readManifest(id)
     load(buckets.distinct.sorted.map(b => b -> m.getOrElse(b, "")))
   }
-
-  private def emptyLike(id: Long): DataFrame =
-    sys.error(s"snapshot $id has no readable buckets")
 
   /** Epoch handshake (reference vql_started_at.txt, T6 cascading reset). */
   def epoch: Option[String] = {

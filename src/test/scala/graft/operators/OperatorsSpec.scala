@@ -14,8 +14,6 @@ class DedupSpec extends GraftSpec {
     (5L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
 
   test("exact dedup groups identical texts under min id") {
-    val res = Dedup.exact(docs).as[(Long, Long, Long)].collect().toMap
-      .map { case (id, c) => id -> c }
     val rows = Dedup.exact(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSet.contains((1L, 1L, 2L)) && rows.toSet.contains((2L, 1L, 2L)))
     assert(rows.count(_._3 == 1L) == 3)
