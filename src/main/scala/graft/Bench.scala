@@ -31,7 +31,9 @@ object Bench {
   /** End-to-end pipeline benchmark: returns (docs, seconds, quads). */
   def pipelineRun(spark: SparkSession, nPages: Long, root: String): (Long, Double, Long) = {
     import spark.implicits._
-    val pipe = new graft.streaming.QuadLogPipeline(spark, root, numBuckets = 32)
+    val canon = sys.env.getOrElse("SPARK_GRAFT_CANON", "true").toBoolean
+    val pipe = new graft.streaming.QuadLogPipeline(spark, root, numBuckets = 32,
+      canonicalize = canon)
     val s0 = graft.sources.PageGen.snapshot(spark, nPages, 0)
     val s1 = graft.sources.PageGen.snapshot(spark, nPages, 1)
     val t0 = System.nanoTime()
@@ -53,7 +55,8 @@ object Bench {
     val spark = mkSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    val queryTimes = headline.flatMap { name =>
+    val skipQueries = sys.env.get("SPARK_GRAFT_QUERIES").contains("off")
+    val queryTimes = (if (skipQueries) Seq.empty else headline).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -65,10 +68,28 @@ object Bench {
     val (docs, pipeSecs, quads) = pipelineRun(spark, nPages, root)
     val docsPerSec = docs / pipeSecs
 
+    // dump-path throughput, apples-to-apples with the reference's only
+    // published number (~100M quads/hour ≈ 27.8k quads/sec, DEPLOY.md:207):
+    // serialize an in-memory quad set to chunked per-graph patch files.
+    val dumpQuads = {
+      import org.apache.spark.sql.functions._
+      val pipe2 = new graft.streaming.QuadLogPipeline(spark, root + "_dump",
+        numBuckets = 32, canonicalize = false)
+      val q = pipe2.extractedQuads(graft.sources.PageGen.snapshot(spark, nPages, 0))
+        .withColumn("op", lit("+")).cache()
+      val nQuads = q.count()
+      val t0 = System.nanoTime()
+      graft.plans.PatchWriter.write(spark, q, root + "_dump/patches", "00000000000000")
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.unpersist()
+      (nQuads, secs)
+    }
+    val dumpQps = dumpQuads._1 / dumpQuads._2
+
     val allTimes = queryTimes :+ ("pipeline_e2e" -> pipeSecs)
     val qs = allTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = allTimes.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs":$docs,"pipeline_quads":$quads,"docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs":$docs,"pipeline_quads":$quads,"docs_per_sec":$docsPerSec%.1f,"dump_quads_per_sec":$dumpQps%.1f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

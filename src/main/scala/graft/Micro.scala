@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Throwaway micro-benchmark for perf triage (not part of the contract). */
+object Micro {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("N", "8000").toLong
+    val spark = Bench.mkSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def time[T](l: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[micro] $l%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs"); r
+    }
+    val pages = graft.sources.PageGen.snapshot(spark, n, 0)
+    time("pages.count warm1")(pages.count())
+    time("pages.count warm2")(pages.count())
+    val df = pages.toDF().cache()
+    time("pages cache fill")(df.count())
+    val surfaces = graft.extract.MentionDetector.surfaceDim(spark)
+    val mentions = graft.extract.MentionDetector.detect(df, surfaces)
+    time("mentions.count")(mentions.count())
+    val links = graft.extract.EntityLinker.link(mentions, df, surfaces)
+    time("links.count")(links.count())
+    val quads = graft.extract.EntityLinker.toQuadsAttributed(links, df)
+    time("quads.count")(quads.count())
+    val qc = quads.cache()
+    time("quads cache fill")(qc.count())
+    val iris = qc.select(col("s").as("id"))
+      .union(qc.filter(col("oKind") === 0).select(col("oLex").as("id")))
+      .filter(col("id").startsWith("http://kg.example.org/")).distinct()
+    time("iris localCheckpoint")(iris.localCheckpoint().count())
+    val cmap = time("canonicalMap")(
+      graft.canon.IriCanonicalizer.canonicalMap(spark, iris.localCheckpoint()))
+    time("canonicalize+count")(
+      graft.canon.IriCanonicalizer.canonicalizeAttributed(qc, cmap).count())
+    val out = java.nio.file.Files.createTempDirectory("micro").toString
+    time("write 32 buckets")(
+      qc.withColumn("bucket", pmod(xxhash64(col("url")), lit(32)).cast("int"))
+        .repartition(32, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out + "/p"))
+    spark.stop()
+  }
+}

@@ -112,8 +112,11 @@ object IriCanonicalizer {
   def canonicalMap(spark: SparkSession, iris: DataFrame,
                    jaccardThreshold: Double = 0.6): DataFrame = {
     // character-3-gram shingles of the IRI local name, as a pure expression
-    // (expr form because substring's pos argument is a lambda variable)
-    val toks = iris
+    // (expr form because substring's pos argument is a lambda variable).
+    // localCheckpoint: the IRI dimension is tiny but its lineage is the full
+    // extraction DAG — materialize once so the LSH self-joins and the CC
+    // iterations below never re-run extraction.
+    val toks = iris.localCheckpoint()
       .withColumn("local",
         lower(regexp_replace(regexp_extract(col("id"), "([^/#]+)$", 1), "[^a-z0-9]", "")))
       .withColumn("toks", expr(

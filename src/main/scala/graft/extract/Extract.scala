@@ -87,7 +87,14 @@ object MentionDetector {
 object EntityLinker {
 
   /** mentions(url,g,surface,pos) × pages(url,text) -> links(url,g,surface,
-    * pos,entity,score). */
+    * pos,entity,score).
+    *
+    * Disambiguation argmax = hash aggregation with `min_by` over the
+    * ordering struct (-score, entity): same semantics as a row_number
+    * window (max score, ties -> entity ascending) but with map-side partial
+    * aggregation and no sort — at web scale the per-(url,pos) candidate
+    * groups are tiny and a sort-based window would shuffle+sort the whole
+    * mention stream for nothing. */
   def link(mentions: DataFrame, pages: DataFrame, surfaces: DataFrame): DataFrame = {
     val pageTokens = pages.select(col("url"),
       array_distinct(split(col("text"), " ")).as("toks"))
@@ -97,11 +104,13 @@ object EntityLinker {
       .withColumn("ctxScore",
         size(array_intersect(col("toks"), col("context"))).cast("double"))
       .withColumn("score", col("ctxScore") + col("prior"))
-    val w = Window.partitionBy(col("url"), col("pos"))
-      .orderBy(col("score").desc, col("entity"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
-      .select("url", "g", "surface", "pos", "entity", "etype", "score")
+    cand.groupBy(col("url"), col("g"), col("surface"), col("pos"))
+      .agg(min_by(
+        struct(col("entity"), col("etype"), col("score")),
+        struct((-col("score")).as("negScore"), col("entity"))).as("best"))
+      .select(col("url"), col("g"), col("surface"), col("pos"),
+        col("best.entity").as("entity"), col("best.etype").as("etype"),
+        col("best.score").as("score"))
   }
 
   /** Like [[toQuads]] but keeps the contributing `url` column — the unit of

@@ -56,14 +56,24 @@ final class QuadLogPipeline(
     pageContributions(pages).drop("url", "bucket")
       .dropDuplicates(quadCols)
 
+  // intermediate caches of the current batch, dropped at batch end
+  private val scratch = scala.collection.mutable.Buffer.empty[DataFrame]
+  private def scratchCache(df: DataFrame): DataFrame = { scratch += df.cache(); df }
+  private def dropScratch(): Unit = { scratch.foreach(_.unpersist()); scratch.clear() }
+
   /** Exact per-page contributions: quads tagged with the url that supports
     * them (a quad may appear under many urls; support = distinct urls). */
   def pageContributions(pages: Dataset[Page]): DataFrame = {
-    val df = pages.toDF()
+    // cache pages: tokenization, link scoring and the metadata-quad branches
+    // all scan them; without the cache the generator/scan re-runs per branch
+    val df = scratchCache(pages.toDF())
     val surfaces = graft.extract.MentionDetector.surfaceDim(spark)
     val mentions = graft.extract.MentionDetector.detect(df, surfaces)
-    val links = EntityLinker.link(mentions, df, surfaces).cache()
-    val quads = EntityLinker.toQuadsAttributed(links, df)
+    val links = EntityLinker.link(mentions, df, surfaces)
+    // cache the attributed quads: the canonical-map derivation and the
+    // downstream commit/diff both consume them — without this the extraction
+    // DAG (tokenize -> broadcast-join -> window) runs once per consumer
+    val quads = scratchCache(EntityLinker.toQuadsAttributed(links, df))
     val out =
       if (!canonicalize) quads
       else {
@@ -72,7 +82,7 @@ final class QuadLogPipeline(
             .select(col("oLex").as("id")))
           .filter(col("id").startsWith("http://kg.example.org/"))
           .distinct()
-        val cmap = IriCanonicalizer.canonicalMap(spark, iris)
+        val cmap = timed("canonicalMap") { IriCanonicalizer.canonicalMap(spark, iris) }
         IriCanonicalizer.canonicalizeAttributed(quads, cmap)
       }
     out.withColumn("bucket", contrib.bucketCol(col("url")))
@@ -84,19 +94,28 @@ final class QuadLogPipeline(
     * checkpoint serial 00000000000000-style ts. */
   def bootstrap(pages: Dataset[Page], epoch: String, checkpoint: String): BatchResult = {
     contrib.reset(); facts.reset()
-    val c = pageContributions(pages).cache()
-    contrib.commitFull(c, 0L)
-    contrib.setEpoch(epoch)
+    val c = timed("bootstrap.extract+commitContrib") {
+      val c0 = pageContributions(pages).cache()
+      contrib.commitFull(c0, 0L) // first action: materializes the cache
+      contrib.setEpoch(epoch)
+      c0
+    }
+    // supports cached: feeds the facts commit, the patch files AND the count
     val supports = c.groupBy(quadCols.map(col): _*)
       .agg(count_distinct(col("url")).as("support"))
       .withColumn("bucket", facts.bucketCol(quadKey))
-    facts.commitFull(supports, 0L)
-    facts.setEpoch(epoch)
+      .cache()
+    timed("bootstrap.commitFacts") {
+      facts.commitFull(supports, 0L)
+      facts.setEpoch(epoch)
+    }
     val patches = supports.select((lit("+").as("op") +: quadCols.map(col)): _*)
-    val files = PatchWriter.write(spark, patches, s"$root/patches/batch_0", checkpoint, maxq)
-    val added = patches.count()
+    val files = timed("bootstrap.patchFiles") {
+      PatchWriter.write(spark, patches, s"$root/patches/batch_0", checkpoint, maxq)
+    }
+    val added = supports.count() // cached; == patches row count
     writeLineage(epoch, 0L, pages, added, 0L, files)
-    c.unpersist()
+    c.unpersist(); supports.unpersist(); dropScratch()
     BatchResult(0L, added, 0L, files)
   }
 
@@ -112,8 +131,9 @@ final class QuadLogPipeline(
     val touchedUrls = changed.toDF().select(col("url"))
       .union(deletedUrls.toDF("url")).distinct()
       .withColumn("bucket", contrib.bucketCol(col("url"))).cache()
-    val affectedBuckets = touchedUrls.select("bucket").distinct()
-      .as[Int].collect().toSeq.sorted
+    val affectedBuckets = timed("incr.affectedBuckets") {
+      touchedUrls.select("bucket").distinct().as[Int].collect().toSeq.sorted
+    }
 
     val oldInBuckets = contrib.readBuckets(affectedBuckets)
       .getOrElse(spark.emptyDataFrame)
@@ -134,33 +154,54 @@ final class QuadLogPipeline(
       .withColumn("bucket", facts.bucketCol(quadKey))
       .cache()
 
-    val factBuckets = d.select("bucket").distinct().as[Int].collect().toSeq.sorted
+    val factBuckets = timed("incr.factBuckets") {
+      d.select("bucket").distinct().as[Int].collect().toSeq.sorted
+    }
     val oldFacts = facts.readBuckets(factBuckets)
       .getOrElse(d.limit(0).drop("d").withColumn("support", lit(0L)))
-    val (patches, newFactRows) = QuadDiff.supportTransition(
+    val (patches, newFactRows0) = QuadDiff.supportTransition(
       oldFacts.drop("bucket"), d.drop("bucket"))
     val patchesC = patches.cache()
+    val newFactRows = newFactRows0.cache()
 
-    val files = PatchWriter.write(spark, patchesC,
-      s"$root/patches/batch_$batchId", checkpoint, maxq)
+    val files = timed("incr.patchFiles") {
+      PatchWriter.write(spark, patchesC, s"$root/patches/batch_$batchId", checkpoint, maxq)
+    }
 
     // commit stores (copy-on-write on touched buckets only)
-    facts.mergeBuckets(newFactRows.withColumn("bucket", facts.bucketCol(quadKey)),
-      factBuckets, batchId)
+    timed("incr.mergeFacts") {
+      facts.mergeBuckets(newFactRows.withColumn("bucket", facts.bucketCol(quadKey)),
+        factBuckets, batchId)
+    }
     val keptOld = oldInBuckets match {
       case df if df.columns.isEmpty => newContrib.limit(0)
       case df => df.join(touchedUrls.select("url"), Seq("url"), "left_anti")
     }
-    contrib.mergeBuckets(
-      keptOld.select(newContrib.columns.map(col): _*)
-        .unionByName(newContrib.join(deletedUrls.toDF("url"), Seq("url"), "left_anti")),
-      affectedBuckets, batchId)
+    timed("incr.mergeContrib") {
+      contrib.mergeBuckets(
+        keptOld.select(newContrib.columns.map(col): _*)
+          .unionByName(newContrib.join(deletedUrls.toDF("url"), Seq("url"), "left_anti")),
+        affectedBuckets, batchId)
+    }
 
-    val added = patchesC.filter(col("op") === "+").count()
-    val deleted = patchesC.filter(col("op") === "-").count()
+    // one job for both tallies (cached patches)
+    val tallies = patchesC.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val added = tallies.getOrElse("+", 0L)
+    val deleted = tallies.getOrElse("-", 0L)
     writeLineage(epoch, batchId, changed, added, deleted, files)
-    newContrib.unpersist(); d.unpersist(); patchesC.unpersist(); touchedUrls.unpersist()
+    newContrib.unpersist(); d.unpersist(); patchesC.unpersist()
+    touchedUrls.unpersist(); newFactRows.unpersist(); dropScratch()
     BatchResult(batchId, added, deleted, files)
+  }
+
+  /** Step timing, printed when GRAFT_TIMING=1 (perf triage aid). */
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.get("GRAFT_TIMING").contains("1"))
+      println(f"[graft-timing] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
   }
 
   private def quadKey =

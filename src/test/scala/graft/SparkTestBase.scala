@@ -14,6 +14,7 @@ object SparkTestBase {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+  spark.sparkContext.setLogLevel("ERROR")
 }
 
 abstract class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
