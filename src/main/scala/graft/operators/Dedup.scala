@@ -24,14 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Whitespace shingles of length n over `textCol` (word n-grams). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, " ")
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token array column.
+    * Taking the array (not the text) matters: codegen does not eliminate
+    * common subexpressions inside higher-order-function lambdas, so passing
+    * `split(text)` here would re-split the text once per shingle position —
+    * O(len²) per document. */
+  def shinglesOf(toks: Column, n: Int): Column =
     array_distinct(filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
       s => length(s) > 0))
-  }
+
+  /** Convenience: docs(textCol) -> (id, toks) with shingles materialized. */
+  def withShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.withColumn("__words", split(col(textCol), " "))
+      .select(col(idCol).as("id"), shinglesOf(col("__words"), n).as("toks"))
+      .filter(size(col("toks")) > 0)
 
   /** Exact dedup: canonical = min doc_id per identical text digest.
     * Returns (doc_id, canonical_id, group_size). */
@@ -46,11 +54,8 @@ object Dedup {
   /** MinHash signatures over word-`n`-gram shingles.
     * (id, sig: array<bigint>) with `numHashes` functions. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
-    val withToks = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("toks"))
-      .filter(size(col("toks")) > 0)
-    graft.canon.MinHashBlocking.signatures(withToks, numHashes)
-  }
+                        n: Int, numHashes: Int): DataFrame =
+    graft.canon.MinHashBlocking.signatures(withShingles(docs, idCol, textCol, n), numHashes)
 
   /** MinHash-LSH near-duplicate candidate pairs (a < b), verified by
     * signature agreement >= `minAgree` of `numHashes` (estimated Jaccard). */
@@ -72,8 +77,7 @@ object Dedup {
     * Pure expressions: per-bit sums via aggregate(), no UDF. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
               bits: Int = 64): DataFrame = {
-    val withToks = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), 2).as("toks"))
+    val withToks = withShingles(docs, idCol, textCol, 2)
     // bit b counter: sum(+-1) over tokens; fingerprint bit = (count > 0)
     val bitCols = (0 until bits).map { b =>
       aggregate(col("toks"), lit(0L),
@@ -92,8 +96,8 @@ object Dedup {
     * otherwise create 10^12 pairs). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         maxBucket: Int = 64): DataFrame = {
-    val toks = docs.select(col("doc_id"), shingles(col("text"), n).as("toks"))
-      .filter(size(col("toks")) > 0)
+    val toks = withShingles(docs, "doc_id", "text", n)
+      .withColumnRenamed("id", "doc_id")
     val sizes = toks.select(col("doc_id"), size(col("toks")).as("n_toks"))
     val exploded = toks.select(col("doc_id"), explode(col("toks")).as("sh"))
     val rare = exploded.groupBy("sh").count().filter(col("count") <= maxBucket)
