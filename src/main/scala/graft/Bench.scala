@@ -18,15 +18,30 @@ object Bench {
     "q_dedup_ngram_jaccard", "q_ann_brute_topk", "q_txt_fingerprint",
     "q_kg_patchlines", "q_mm_media_meta")
 
-  def mkSession(cpus: String): SparkSession = SparkSession.builder()
-    .master(s"local[$cpus]")
-    .appName("graft-bench")
-    .config("spark.sql.shuffle.partitions", cpus)
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  def mkSession(cpus: String): SparkSession = {
+    // shuffle spill dir on tmpfs when available: the bench measures compute
+    // scaling, and this host's single disk would otherwise serialize it
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_spark_local"
+      else System.getProperty("java.io.tmpdir")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  /** Bench scratch root on tmpfs when available (same rationale). */
+  def scratchRoot(prefix: String): String = {
+    val base = if (new java.io.File("/dev/shm").isDirectory)
+      java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
 
   /** End-to-end pipeline benchmark: returns (docs, seconds, quads). */
   def pipelineRun(spark: SparkSession, nPages: Long, root: String): (Long, Double, Long) = {
@@ -64,7 +79,7 @@ object Bench {
       }
     }
 
-    val root = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val root = scratchRoot("graft_bench")
     val (docs, pipeSecs, quads) = pipelineRun(spark, nPages, root)
     val docsPerSec = docs / pipeSecs
 

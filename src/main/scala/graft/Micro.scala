@@ -24,7 +24,10 @@ object Micro {
     val links = graft.extract.EntityLinker.link(mentions, df, surfaces)
     time("links.count")(links.count())
     val quads = graft.extract.EntityLinker.toQuadsAttributed(links, df)
-    time("quads.count")(quads.count())
+    time("quads.count (modular)")(quads.count())
+    val fused = graft.extract.RowwiseExtractor.pageQuads(pages.toDF())
+    time("quads.count (fused) 1")(fused.count())
+    time("quads.count (fused) 2")(fused.count())
     val qc = quads.cache()
     time("quads cache fill")(qc.count())
     val iris = qc.select(col("s").as("id"))

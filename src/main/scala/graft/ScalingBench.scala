@@ -16,9 +16,9 @@ object ScalingBench {
       val spark = Bench.mkSession(cpus.toString)
       spark.sparkContext.setLogLevel("WARN")
       // warm the JVM/JIT and the parquet reader once at the smaller size
-      val warm = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      val warm = Bench.scratchRoot("graft_warm")
       Bench.pipelineRun(spark, math.min(nPages / 10, 5000L), warm)
-      val root = java.nio.file.Files.createTempDirectory("graft_scale").toString
+      val root = Bench.scratchRoot("graft_scale")
       val (docs, secs, _) = Bench.pipelineRun(spark, nPages, root)
       spark.stop()
       // SparkSession.stop clears the active session but keeps the JVM; a new

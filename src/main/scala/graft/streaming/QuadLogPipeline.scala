@@ -62,18 +62,14 @@ final class QuadLogPipeline(
   private def dropScratch(): Unit = { scratch.foreach(_.unpersist()); scratch.clear() }
 
   /** Exact per-page contributions: quads tagged with the url that supports
-    * them (a quad may appear under many urls; support = distinct urls). */
+    * them (a quad may appear under many urls; support = distinct urls).
+    * Uses the fused shuffle-free extractor (see RowwiseExtractor scaladoc);
+    * the modular MentionDetector/EntityLinker path computes identical quads
+    * (verified by ExtractorEquivalenceSpec). */
   def pageContributions(pages: Dataset[Page]): DataFrame = {
-    // cache pages: tokenization, link scoring and the metadata-quad branches
-    // all scan them; without the cache the generator/scan re-runs per branch
-    val df = scratchCache(pages.toDF())
-    val surfaces = graft.extract.MentionDetector.surfaceDim(spark)
-    val mentions = graft.extract.MentionDetector.detect(df, surfaces)
-    val links = EntityLinker.link(mentions, df, surfaces)
     // cache the attributed quads: the canonical-map derivation and the
-    // downstream commit/diff both consume them — without this the extraction
-    // DAG (tokenize -> broadcast-join -> window) runs once per consumer
-    val quads = scratchCache(EntityLinker.toQuadsAttributed(links, df))
+    // downstream commit/diff both consume them
+    val quads = scratchCache(graft.extract.RowwiseExtractor.pageQuads(pages.toDF()))
     val out =
       if (!canonicalize) quads
       else {

@@ -28,6 +28,17 @@ class ConnectedComponentsSpec extends GraftSpec {
     val comps = ConnectedComponents.run(spark, (ring1 ++ ring2 ++ bridge).toDF("src", "dst"))
     assert(comps.select("component").distinct().count() == 1)
   }
+
+  test("distributed iterative-join path == driver union-find fast path") {
+    val edges = ((0 until 40).map(i => (s"c$i", s"c${i + 1}")) ++ // long chain
+      (1 to 60).map(i => ("hub", s"h$i")) ++                      // star (skew)
+      Seq(("x1", "x2"), ("x2", "x3"))).toDF("src", "dst")
+    val fast = ConnectedComponents.run(spark, edges)
+      .as[(String, String)].collect().toMap
+    val dist = ConnectedComponents.run(spark, edges, maxIter = 50, smallGraphCutoff = 0)
+      .as[(String, String)].collect().toMap
+    assert(fast == dist)
+  }
 }
 
 class CanonicalizerSpec extends GraftSpec {
