@@ -27,4 +27,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Pin the heap (and optionally pre-touch) for benchmark stability: heap
+  // growth causes serialized kernel page-fault storms that poison scaling
+  // measurements on many-core VMs.
+  sys.env.get("SPARK_GRAFT_XMS")
+    .map(m => Seq(s"-Xms$m", "-XX:+AlwaysPreTouch")).toSeq.flatten ++
+  // Scaling-bench honesty knob: local[N] caps task slots at N but the JVM
+  // still sizes GC/JIT/common pools to ALL host cores, which silently
+  // donates the idle cores to the "small" configuration. Pinning the
+  // visible processor count emulates a genuine N-core executor.
+  sys.env.get("SPARK_GRAFT_PROC_COUNT")
+    .map(n => Seq(s"-XX:ActiveProcessorCount=$n")).toSeq.flatten ++
+  // Batch pipelines allocate hard; ParallelGC trades pause time for
+  // throughput and measures more stably than G1 here.
+  sys.env.get("SPARK_GRAFT_GC").filter(_ == "parallel")
+    .map(_ => Seq("-XX:+UseParallelGC")).toSeq.flatten

@@ -2,6 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Local replica of the driver's t1 smoke: SparkEntry.entry must return >0
+  * rows on sf0.001. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = Bench.mkSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    println(s"ENTRY_ROWS=${df.count()} ENTRY_COLS=${df.columns.mkString(",")}")
+    spark.stop()
+  }
+}
+
 /** Per-round benchmark: headline operator queries on the driver's sf dir +
   * the end-to-end KG pipeline (bootstrap dump + one incremental batch) on a
   * deterministic synthetic page table. Prints ONE JSON line.
@@ -78,6 +90,11 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+
+    // JIT warmup pass (small input, separate root): scaling comparisons
+    // must not charge one-time codegen/JIT compilation to either level
+    if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1"))
+      pipelineRun(spark, math.max(nPages / 20, 2000L), scratchRoot("graft_warm"))
 
     val root = scratchRoot("graft_bench")
     val (docs, pipeSecs, quads) = pipelineRun(spark, nPages, root)

@@ -13,6 +13,12 @@ object Micro {
       val t0 = System.nanoTime(); val r = f
       println(f"[micro] $l%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs"); r
     }
+    if (sys.env.contains("CPU_BURN")) {
+      time("cpu burn warm")(spark.range(0, 500000000L).selectExpr("bit_xor(xxhash64(id))").head())
+      time("cpu burn 1")(spark.range(0, 40000000000L).selectExpr("bit_xor(xxhash64(id))").head())
+      time("cpu burn 2")(spark.range(0, 4000000000L).selectExpr("bit_xor(xxhash64(id, id+1, id+2))").head())
+      spark.stop(); return
+    }
     val pages = graft.sources.PageGen.snapshot(spark, n, 0)
     time("pages.count warm1")(pages.count())
     time("pages.count warm2")(pages.count())

@@ -46,9 +46,16 @@ object PatchWriter {
 
     val body = withLine.select(col("g_b64"), col("seq"), lit(0).as("hseq"), col("line"))
 
+    // explicit partition count: with the default (shuffle.partitions) AQE
+    // coalesces the per-graph groups into very few tasks and the sorted
+    // write runs near-serially regardless of cores. Sort keys are the two
+    // small ints that matter (headers before body within a graph) — NOT the
+    // line text; sorting 10^7 ~130-byte strings per task was the dump
+    // path's constant-rate bottleneck.
+    val writeParallelism = math.max(spark.sparkContext.defaultParallelism * 2, 16)
     headers.unionByName(body)
-      .repartition(col("g_b64"))
-      .sortWithinPartitions(col("g_b64"), col("seq"), col("hseq"), col("line"))
+      .repartition(writeParallelism, col("g_b64"))
+      .sortWithinPartitions(col("g_b64"), col("seq"), col("hseq"))
       .select("g_b64", "line")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxq)

@@ -67,19 +67,25 @@ final class QuadLogPipeline(
     * the modular MentionDetector/EntityLinker path computes identical quads
     * (verified by ExtractorEquivalenceSpec). */
   def pageContributions(pages: Dataset[Page]): DataFrame = {
-    // cache the attributed quads: the canonical-map derivation and the
-    // downstream commit/diff both consume them
-    val quads = scratchCache(graft.extract.RowwiseExtractor.pageQuads(pages.toDF()))
+    // NOT cached: extraction is a narrow, CPU-bound, re-runnable pass; RAM-
+    // caching 10^6+ deserialized rows costs more (alloc + GC bandwidth) than
+    // recomputing, and at real scale caching the corpus is impossible anyway.
+    // Consumers that need repeated access read the committed parquet back.
+    val quads = graft.extract.RowwiseExtractor.pageQuads(pages.toDF())
     val out =
       if (!canonicalize) quads
       else {
-        val iris = quads.select(col("s").as("id"))
-          .union(quads.filter(col("oKind") === graft.model.TermKind.Iri)
-            .select(col("oLex").as("id")))
-          .filter(col("id").startsWith("http://kg.example.org/"))
+        // one scan: explode (s, o) into candidate ids, filter, distinct —
+        // a union of two projections would evaluate extraction twice
+        val iris = quads.select(explode(array(col("s"),
+            when(col("oKind") === graft.model.TermKind.Iri, col("oLex")))).as("id"))
+          .filter(col("id").isNotNull && col("id").startsWith("http://kg.example.org/"))
           .distinct()
         val cmap = timed("canonicalMap") { IriCanonicalizer.canonicalMap(spark, iris) }
-        IriCanonicalizer.canonicalizeAttributed(quads, cmap)
+        // identity map (no coreferent aliases found) -> the rewrite would be
+        // a no-op; skip its joins AND the per-page re-dedup entirely
+        val nontrivial = !cmap.filter(col("id") =!= col("canonical")).isEmpty
+        if (nontrivial) IriCanonicalizer.canonicalizeAttributed(quads, cmap) else quads
       }
     out.withColumn("bucket", contrib.bucketCol(col("url")))
   }
@@ -88,30 +94,33 @@ final class QuadLogPipeline(
 
   /** Bootstrap dump (reference lifecycle 3.1): full extraction, all '+',
     * checkpoint serial 00000000000000-style ts. */
+  /** One-pass materialization discipline: extraction is evaluated exactly
+    * once into the contrib store; every downstream consumer reads committed
+    * parquet back (columnar, splittable) instead of a RAM cache — at bench
+    * scale the deserialized-row cache was the memory-bandwidth bottleneck,
+    * and at target scale caching the corpus is impossible regardless. */
   def bootstrap(pages: Dataset[Page], epoch: String, checkpoint: String): BatchResult = {
     contrib.reset(); facts.reset()
-    val c = timed("bootstrap.extract+commitContrib") {
-      val c0 = pageContributions(pages).cache()
-      contrib.commitFull(c0, 0L) // first action: materializes the cache
+    timed("bootstrap.commitContrib") {
+      contrib.commitFull(pageContributions(pages), 0L)
       contrib.setEpoch(epoch)
-      c0
     }
-    // supports cached: feeds the facts commit, the patch files AND the count
-    val supports = c.groupBy(quadCols.map(col): _*)
+    val cBack = contrib.read().get
+    val supports = cBack.groupBy(quadCols.map(col): _*)
       .agg(count_distinct(col("url")).as("support"))
       .withColumn("bucket", facts.bucketCol(quadKey))
-      .cache()
     timed("bootstrap.commitFacts") {
       facts.commitFull(supports, 0L)
       facts.setEpoch(epoch)
     }
-    val patches = supports.select((lit("+").as("op") +: quadCols.map(col)): _*)
+    val sBack = facts.read().get
+    val patches = sBack.select((lit("+").as("op") +: quadCols.map(col)): _*)
     val files = timed("bootstrap.patchFiles") {
       PatchWriter.write(spark, patches, s"$root/patches/batch_0", checkpoint, maxq)
     }
-    val added = supports.count() // cached; == patches row count
+    val added = sBack.count() // parquet metadata count — no recompute
     writeLineage(epoch, 0L, pages, added, 0L, files)
-    c.unpersist(); supports.unpersist(); dropScratch()
+    dropScratch()
     BatchResult(0L, added, 0L, files)
   }
 
@@ -123,7 +132,9 @@ final class QuadLogPipeline(
     val epoch = contrib.epoch.getOrElse(sys.error("bootstrap first"))
     if (alreadyCommitted(batchId)) return BatchResult(batchId, 0, 0, 0) // idempotent re-run
 
-    val newContrib = pageContributions(changed).cache()
+    // uncached: evaluated twice (delta agg + store merge); extraction of the
+    // changed slice is cheap and re-runnable (see bootstrap note)
+    val newContrib = pageContributions(changed)
     val touchedUrls = changed.toDF().select(col("url"))
       .union(deletedUrls.toDF("url")).distinct()
       .withColumn("bucket", contrib.bucketCol(col("url"))).cache()
@@ -148,17 +159,16 @@ final class QuadLogPipeline(
       .agg(sum("w").as("d"))
       .filter(col("d") =!= 0L)
       .withColumn("bucket", facts.bucketCol(quadKey))
-      .cache()
+      .localCheckpoint() // small net-delta set; cuts the extraction lineage
 
     val factBuckets = timed("incr.factBuckets") {
       d.select("bucket").distinct().as[Int].collect().toSeq.sorted
     }
     val oldFacts = facts.readBuckets(factBuckets)
       .getOrElse(d.limit(0).drop("d").withColumn("support", lit(0L)))
-    val (patches, newFactRows0) = QuadDiff.supportTransition(
+    val (patches0, newFactRows) = QuadDiff.supportTransition(
       oldFacts.drop("bucket"), d.drop("bucket"))
-    val patchesC = patches.cache()
-    val newFactRows = newFactRows0.cache()
+    val patchesC = patches0.localCheckpoint() // small; read by write + tally
 
     val files = timed("incr.patchFiles") {
       PatchWriter.write(spark, patchesC, s"$root/patches/batch_$batchId", checkpoint, maxq)
@@ -186,8 +196,7 @@ final class QuadLogPipeline(
     val added = tallies.getOrElse("+", 0L)
     val deleted = tallies.getOrElse("-", 0L)
     writeLineage(epoch, batchId, changed, added, deleted, files)
-    newContrib.unpersist(); d.unpersist(); patchesC.unpersist()
-    touchedUrls.unpersist(); newFactRows.unpersist(); dropScratch()
+    touchedUrls.unpersist(); dropScratch()
     BatchResult(batchId, added, deleted, files)
   }
 

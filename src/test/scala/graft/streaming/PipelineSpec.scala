@@ -79,6 +79,17 @@ class PipelineSpec extends GraftSpec {
     assert(lin.filter(col("batchId") === 0).agg(max("added")).head().getLong(0) == r0.added)
   }
 
+  test("epoch reset (T6): new epoch wipes and re-derives downstream state") {
+    val root = tmpDir("graft_epoch")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = false)
+    pipe.bootstrap(PageGen.snapshot(spark, 30, 0), "epoch-1", "00000000000000")
+    assert(pipe.facts.epoch.contains("epoch-1"))
+    val s1 = PageGen.snapshot(spark, 30, 1)
+    pipe.bootstrap(s1, "epoch-2", "00000000000001") // cascading reset
+    assert(pipe.facts.epoch.contains("epoch-2"))
+    assert(QuadDiff.diff(pipe.currentQuads, pipe.extractedQuads(s1)).count() == 0)
+  }
+
   test("resume: re-running from committed state equals single-run output") {
     val rootA = tmpDir("graft_resumeA")
     val rootB = tmpDir("graft_resumeB")
