@@ -13,6 +13,14 @@ object Micro {
       val t0 = System.nanoTime(); val r = f
       println(f"[micro] $l%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs"); r
     }
+    if (sys.env.contains("EXPLAIN")) {
+      val dir = "/root/testdata/sf0.01"
+      for (q <- sys.env("EXPLAIN").split(",")) {
+        println(s"===== $q =====")
+        SparkEntry.queries(q)(spark, dir).explain("formatted")
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("CPU_BURN")) {
       time("cpu burn warm")(spark.range(0, 500000000L).selectExpr("bit_xor(xxhash64(id))").head())
       time("cpu burn 1")(spark.range(0, 40000000000L).selectExpr("bit_xor(xxhash64(id))").head())
