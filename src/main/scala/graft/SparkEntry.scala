@@ -33,6 +33,28 @@ object SparkEntry {
   /** Fixed-point: floor(x*10^4+0.5) as BIGINT (half-up; same formula in SQL). */
   private def fx4(c: Column): Column = floor(c * 10000d + 0.5d).cast("long")
 
+  /** SQL mirror of [[Similarity.hyperplaneBucket]]: the identical ±1 weight
+    * constants inlined as an explicit index-ordered sum, so the double
+    * arithmetic is bit-identical between engines. */
+  private def hyperplaneBucketSql(tbl: String, planes: Int, dim: Int, seed: Int): String =
+    (0 until planes).map { i =>
+      val w = Similarity.hyperplaneWeights(i, dim, seed)
+      val dotExpr = (0 until dim)
+        .map(j => s"$tbl.embedding[${j + 1}]::DOUBLE*(${w(j).toInt})").mkString(" + ")
+      s"(CASE WHEN ($dotExpr) > 0 THEN (1::BIGINT << $i) ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** SQL mirror of [[Similarity.cosine]] in EXPLICIT double arithmetic
+    * (index-ordered sums) — DuckDB's list_cosine_similarity computes in
+    * float32 and diverges from the double fold by 1 ulp at fixed-point
+    * boundaries. */
+  private def cosineSql(l: String, r: String, dim: Int): String = {
+    def dotSum(a: String, b: String) = (0 until dim)
+      .map(j => s"$a.embedding[${j + 1}]::DOUBLE*$b.embedding[${j + 1}]::DOUBLE")
+      .mkString(" + ")
+    s"(${dotSum(l, r)}) / (sqrt(${dotSum(l, l)}) * sqrt(${dotSum(r, r)}))"
+  }
+
   // the test-table entity dictionary (documents vocab is DB-flavored words)
   private val docEntities: Seq[(String, String)] = Seq(
     "spark" -> "http://kg.example.org/entity/Spark",
@@ -72,6 +94,14 @@ object SparkEntry {
             .otherwise(null))
         .filter(col("op").isNotNull)
         .groupBy("op").agg(count(lit(1)).as("n"))
+    }),
+
+    // --- F3: payload-slot selection (parse_trx_logs.sql:91-96 — opcode 13
+    // carries the quad in line[2], all others in line[1])
+    "q_f3_payload_slot" -> ((s, dir) => {
+      t(s, dir, "events").select(col("event_id"),
+        when(col("event_type") === "purchase", col("props"))
+          .otherwise(concat(lit("u:"), col("user_id").cast("string"))).as("payload"))
     }),
 
     // --- J4: exclusion as anti-join (dump_nquads.sql:47-48)
@@ -209,6 +239,17 @@ object SparkEntry {
       graft.canon.ConnectedComponents.run(s, edges)
     }),
 
+    // --- J5: SAME labels via the distributed star-contraction path
+    // (smallGraphCutoff=0 disables the driver union-find fast path, so this
+    // row certifies the salted large-star/small-star implementation itself)
+    "q_canon_cc_distributed" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .select(concat(lit("u"), col("user_id").cast("string")).as("src"),
+          concat(lit("t"), col("event_type")).as("dst"))
+        .distinct()
+      graft.canon.ConnectedComponents.run(s, edges, smallGraphCutoff = 0)
+    }),
+
     // --- dedup: exact (hash-groupBy)
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"))
@@ -262,6 +303,31 @@ object SparkEntry {
       toks.select(col("doc_id"), fp.as("simhash"))
     }),
 
+    // --- dedup: simhash PAIRS via Hamming-adjacent band blocking (portable
+    // 16-bit fingerprint, 4 bands of 4 bits; pigeonhole: hamming<=2 < bands)
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val bitSums = (0 until 16).map { b =>
+        aggregate(col("toks"), lit(0L), (acc, c) =>
+          acc + when(shiftright(phash(c, 99), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      }
+      val fpCol = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+        acc.bitwiseOR(when(bitSums(b) > 0L, shiftleft(lit(1L), b)).otherwise(0L))
+      }
+      val fps = toks.select(col("doc_id"), fpCol.as("simhash"))
+      val banded = fps.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 4).bitwiseAND(15L)): _*)).as(Seq("band", "key")))
+      val l = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("simhash").as("fa"))
+      val r = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("simhash").as("fb"))
+      l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("fa"), col("fb")).distinct()
+        .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+        .filter(col("hamming") <= 2)
+        .select("a", "b", "hamming")
+    }),
+
     // --- dedup: exact n-gram Jaccard with shared-shingle blocking
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.05,
@@ -269,15 +335,12 @@ object SparkEntry {
         .withColumn("jaccard_x1e4", fx4(col("jaccard"))).drop("jaccard")
     }),
 
-    // --- dedup: embedding-cosine near-dup pairs (label-blocked)
+    // --- dedup: embedding-cosine near-dup pairs (seeded-hyperplane blocked,
+    // maxBucket-capped — no label column needed; real corpora have none)
     "q_dedup_embed_cosine" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val l = e.select(col("label").as("blk"), col("vec_id").as("a"), col("embedding").as("ea"))
-      val r = e.select(col("label").as("blk"), col("vec_id").as("b"), col("embedding").as("eb"))
-      l.join(r, Seq("blk")).filter(col("a") < col("b"))
-        .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
-        .filter(col("sim") >= 0.25)
-        .select(col("a"), col("b"), fx4(col("sim")).as("sim_x1e4"))
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.25,
+          planes = 4, dim = 64, seed = 42, maxBucket = 10000)
+        .withColumn("sim_x1e4", fx4(col("sim"))).drop("sim")
     }),
 
     // --- ANN: brute-force cosine top-k (exact baseline)
@@ -287,9 +350,10 @@ object SparkEntry {
         .withColumn("sim_x1e4", fx4(col("sim"))).drop("sim")
     }),
 
-    // --- ANN: sign-LSH bucketed top-k (scale path)
+    // --- ANN: seeded-hyperplane LSH bucketed top-k (scale path; capped)
     "q_ann_lsh_topk" -> ((s, dir) => {
-      Similarity.lshTopK(t(s, dir, "embeddings").filter(col("vec_id") < 200), 3, planes = 6)
+      Similarity.lshTopK(t(s, dir, "embeddings").filter(col("vec_id") < 200), 3,
+          planes = 6, dim = 64, seed = 42, maxBucket = 64)
         .withColumn("sim_x1e4", fx4(col("sim"))).drop("sim")
     }),
 
@@ -324,6 +388,12 @@ object SparkEntry {
       val media = Multimodal.withFakePayload(t(s, dir, "documents"))
       Multimodal.metaColumns(media)
         .withColumn("byte_len", col("byte_len").cast("long"))
+    }),
+
+    // --- multimodal: frame-sample fan-out (explode over stride sequence)
+    "q_mm_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.withFakePayload(t(s, dir, "documents"))
+      Multimodal.frameSampleMeta(media, stride = 4)
     }),
 
     // --- headline star-join aggregate (exact DECIMAL, emitted as cents)
@@ -368,6 +438,12 @@ object SparkEntry {
         |              WHEN event_type = 'error' THEN '-' END AS op FROM events)
         |WHERE op IS NOT NULL GROUP BY op""".stripMargin,
 
+    "q_f3_payload_slot" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'purchase' THEN props
+        |       ELSE 'u:' || user_id::VARCHAR END AS payload
+        |FROM events""".stripMargin,
+
     "q_j4_graph_exclusion" ->
       """SELECT event_type, count(*)::BIGINT AS n FROM events
         |WHERE user_id NOT IN (SELECT DISTINCT user_id FROM events WHERE value > 190)
@@ -385,10 +461,10 @@ object SparkEntry {
     "q_j1_diff_changelog" ->
       """WITH prev AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0),
         |     nxt  AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 5 <> 0),
-        |     tagged AS (SELECT *, -1 AS w FROM prev UNION ALL SELECT *, 1 AS w FROM nxt)
+        |     tagged AS (SELECT *, 1 AS w FROM prev UNION ALL SELECT *, 2 AS w FROM nxt)
         |SELECT o_orderkey, o_orderpriority,
-        |       CASE WHEN sum(w) > 0 THEN '+' ELSE '-' END AS op
-        |FROM tagged GROUP BY o_orderkey, o_orderpriority HAVING sum(w) <> 0""".stripMargin,
+        |       CASE WHEN sum(DISTINCT w) = 2 THEN '+' ELSE '-' END AS op
+        |FROM tagged GROUP BY o_orderkey, o_orderpriority HAVING sum(DISTINCT w) <> 3""".stripMargin,
 
     "q_w1_chunking" ->
       """SELECT doc_id, source,
@@ -465,6 +541,16 @@ object SparkEntry {
         |  SELECT reach.id, u.dst FROM reach JOIN und u ON reach.r = u.src)
         |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id""".stripMargin,
 
+    "q_canon_cc_distributed" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 'u' || user_id::VARCHAR AS src, 't' || event_type AS dst FROM events),
+        |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM und
+        |  UNION
+        |  SELECT reach.id, u.dst FROM reach JOIN und u ON reach.r = u.src)
+        |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id""".stripMargin,
+
     "q_dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents),
         |g AS (SELECT digest, min(doc_id) AS canonical_id, count(*)::BIGINT AS group_size
@@ -509,6 +595,22 @@ object SparkEntry {
          |SELECT doc_id, ($fp)::BIGINT AS simhash FROM d""".stripMargin
     },
 
+    "q_dedup_simhash_pairs" -> {
+      val bitSum = (b: Int) =>
+        s"list_sum(list_transform(toks, t -> CASE WHEN ((('0x'||substr(md5(t||'#99'),1,15))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END))"
+      val fp = (0 until 16)
+        .map(b => s"(CASE WHEN ${bitSum(b)} > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents),
+         |fp AS (SELECT doc_id, ($fp)::BIGINT AS simhash FROM d),
+         |banded AS (SELECT doc_id, simhash, b AS band, (simhash >> (b*4)) & 15 AS key
+         |  FROM fp, range(0,4) t(b)),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS fa, r.simhash AS fb
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+         |SELECT a, b, bit_count(xor(fa, fb))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 2""".stripMargin
+    },
+
     "q_dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, list_distinct(list_filter(
         |    list_transform(range(1, greatest(len(string_split(text,' '))-2,0)+1),
@@ -527,11 +629,14 @@ object SparkEntry {
         |WHERE inter::DOUBLE / (sa.n_toks + sb.n_toks - inter) >= 0.05""".stripMargin,
 
     "q_dedup_embed_cosine" ->
-      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
-        |SELECT a.vec_id AS a, b.vec_id AS b,
-        |  floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5)::BIGINT AS sim_x1e4
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.25""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |b0 AS (SELECT vec_id, embedding, (${hyperplaneBucketSql("e", 4, 64, 42)}) AS bucket FROM e),
+         |ok AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 10000),
+         |b AS (SELECT b0.vec_id, b0.embedding, b0.bucket FROM b0 JOIN ok USING (bucket))
+         |SELECT l.vec_id AS a, r.vec_id AS b,
+         |  floor(list_cosine_similarity(l.embedding, r.embedding) * 10000 + 0.5)::BIGINT AS sim_x1e4
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.25""".stripMargin,
 
     "q_ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
@@ -543,20 +648,18 @@ object SparkEntry {
         |SELECT q_id, n_id, rank::BIGINT AS rank, floor(sim*10000 + 0.5)::BIGINT AS sim_x1e4
         |FROM ranked WHERE rank <= 3""".stripMargin,
 
-    "q_ann_lsh_topk" -> {
-      val bucket = (p: String) => (0 until 6)
-        .map(i => s"(CASE WHEN $p.embedding[${i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
-        .mkString(" + ")
+    "q_ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
-         |b AS (SELECT vec_id, embedding, ${bucket("e")} AS bucket FROM e),
+         |b0 AS (SELECT vec_id, embedding, (${hyperplaneBucketSql("e", 6, 64, 42)}) AS bucket FROM e),
+         |ok AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 64),
+         |b AS (SELECT b0.vec_id, b0.embedding, b0.bucket FROM b0 JOIN ok USING (bucket)),
          |scored AS (SELECT l.vec_id AS q_id, r.vec_id AS n_id,
-         |    list_cosine_similarity(l.embedding, r.embedding) AS sim
+         |    ${cosineSql("l", "r", 64)} AS sim
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
          |  FROM scored)
          |SELECT q_id, n_id, rank::BIGINT AS rank, floor(sim*10000 + 0.5)::BIGINT AS sim_x1e4
-         |FROM ranked WHERE rank <= 3""".stripMargin
-    },
+         |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q_txt_token_stats" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars,
@@ -595,6 +698,13 @@ object SparkEntry {
         |  octet_length(encode(text))::BIGINT AS byte_len,
         |  md5(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "q_mm_frame_sample" ->
+      """WITH v AS (SELECT doc_id, md5(text) AS checksum,
+        |    octet_length(encode(text)) AS byte_len
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, unnest(range(0, (byte_len % 240) + 1, 4))::BIGINT AS frame, checksum
+        |FROM v""".stripMargin,
 
     "q_agg_star_join" ->
       """SELECT n_name,

@@ -4,29 +4,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an edge list via iterative DataFrame joins —
-  * min-label propagation with alternating large-star/small-star style
-  * contraction, per the north_star ("connected-components via iterative
-  * DataFrame joins with salted keys for hub entities"; GraphX is on the
-  * classpath but deliberately unused).
+  * alternating large-star / small-star contraction (the O(log n)-round
+  * MapReduce CC algorithm), per the north_star ("connected-components via
+  * iterative DataFrame joins with salted keys for hub entities"; GraphX is
+  * on the classpath but deliberately unused).
   *
   * Scale notes:
-  *  - every iteration is ONE shuffle (join on `id`) + ONE aggregation;
+  *  - round count is O(log n) in component size — a diameter-10^6 chain
+  *    converges in ~20 rounds where min-label propagation needs 10^6;
+  *  - each star op is one min-aggregation (map-side partial combine, so a
+  *    hub with 10^8 neighbours pre-collapses per partition) plus one join
+  *    of edges against the per-node min, EXPLICITLY salted: the min rows
+  *    are replicated `numSalts` ways and each edge row picks a salt from
+  *    its other endpoint, so a hub's join rows spread over `numSalts`
+  *    tasks instead of one;
   *  - `localCheckpoint` truncates lineage each round so plans don't grow;
-  *  - AQE skew-join handles hub vertices (enabled in session conf); the
-  *    aggregation side is additionally pre-combined map-side by the
-  *    partial-min, so a hub with 10^8 neighbours never concentrates rows.
+  *  - non-convergence is an ERROR, never a silent wrong answer: if the
+  *    edge-set fixpoint is not reached within maxIter rounds the run
+  *    throws (reference invariant: a changelog built on wrong component
+  *    labels corrupts every downstream batch).
   */
 object ConnectedComponents {
 
-  /** Below this many distinct edges, a driver-side union-find beats ~10
-    * distributed iterations (each a shuffle + action) by seconds of fixed
+  /** Below this many distinct edges, a driver-side union-find beats the
+    * distributed rounds (each a shuffle + action) by seconds of fixed
     * latency. Above it, the iterative join path is the only thing that
-    * scales — both produce identical labels. */
+    * scales — both produce identical labels (CanonSpec asserts equality). */
   val driverThreshold: Long = 100000
+
+  /** Salt fan-out for the star joins (hub-key replication factor). */
+  val numSalts: Int = 8
 
   /** edges(src: string, dst: string) -> labels(id: string, component: string)
     * where component = min id in the component (lexicographic). */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 20,
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
           smallGraphCutoff: Long = driverThreshold): DataFrame = {
     // undirected closure, self-edges dropped
     val e0 = edges.select(col("src"), col("dst"))
@@ -35,35 +46,75 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
-    val nEdges = e0.count()
-    if (nEdges <= smallGraphCutoff) return runOnDriver(spark, e0)
+    if (smallGraphCutoff > 0 && e0.count() <= smallGraphCutoff)
+      return runOnDriver(spark, e0)
 
-    // initial label = own id
-    var labels = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id")))
-      .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    val vertices = e0.select(col("src").as("id")).distinct().localCheckpoint()
 
-    var iter = 0
+    // star edges held oriented child -> parent (u, v); start from the
+    // undirected closure (both orientations present in e0)
+    var cur = e0.select(col("src").as("u"), col("dst").as("v"))
+    var prevSig: (Long, Long) = (-1L, -1L)
     var converged = false
+    var iter = 0
     while (iter < maxIter && !converged) {
-      // candidate label for each vertex: min(own, min over neighbours' labels)
-      val viaNeighbours = e0
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("component")).as("nbr"))
-      val next = labels.join(viaNeighbours, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      cur = smallStar(largeStar(cur)).localCheckpoint()
+      // edge-set fixpoint check: (count, xor of row hashes) — one cheap
+      // aggregate action per round instead of a full except(); xor is
+      // order-independent and cannot overflow (ANSI-safe), and the edge set
+      // is distinct so no pair cancellation
+      val sigRow = cur.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
       iter += 1
     }
-    labels
+    if (!converged)
+      sys.error(s"ConnectedComponents: no fixpoint after $maxIter rounds " +
+        s"(edges=${prevSig._1}); labels would be WRONG — raise maxIter")
+
+    // converged: every component is a star (child -> min). Root/isolated
+    // vertices keep their own id.
+    vertices.join(cur.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+  }
+
+  /** Replicated-min join: adj(u, v) ⋈ mins(u, m) with the min side
+    * replicated over [[numSalts]] buckets and each edge row routed by a
+    * deterministic salt of its OTHER endpoint — explicit hub-skew handling
+    * (a star center with 10^8 children becomes numSalts join partitions). */
+  private def saltedMinJoin(adj: DataFrame, mins: DataFrame): DataFrame = {
+    val salted = mins.withColumn("salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    adj.withColumn("salt", pmod(xxhash64(col("v")), lit(numSalts)).cast("int"))
+      .join(salted, Seq("u", "salt"))
+      .drop("salt")
+  }
+
+  /** large-star: every neighbour v > u links to m(u) = min(N(u) ∪ {u}). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val adj = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = adj.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    saltedMinJoin(adj, mins)
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** small-star: orient each edge toward its larger endpoint; that node's
+    * smaller neighbours (and itself) link to the min. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val adj = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = adj.groupBy("u").agg(min("v").as("m"))
+    saltedMinJoin(adj, mins)
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
   }
 
   /** Driver-side union-find with path compression (small-graph fast path). */

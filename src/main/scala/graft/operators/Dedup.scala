@@ -89,6 +89,34 @@ object Dedup {
     withToks.select(col("id"), fp.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs via Hamming-adjacent band blocking: the
+    * `bits`-bit fingerprint splits into `bands` contiguous bit-slices; two
+    * fingerprints within Hamming distance < `bands` must agree on at least
+    * one slice (pigeonhole), so the equal-slice join finds every such pair
+    * without an all-pairs comparison — the join key is (band, slice), a
+    * bounded-cardinality uniform key, the same shape as the MinHash band
+    * join. Candidates are verified by exact Hamming distance <= maxHamming
+    * (bit_count of xor, pure codegen). */
+  def simhashPairs(docs: DataFrame, bands: Int = 4, maxHamming: Int = 3,
+                   bits: Int = 64): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
+    val bw = bits / bands
+    val mask = if (bw == 64) -1L else (1L << bw) - 1L
+    val fps = simhash(docs, bits = bits)
+    val banded = fps.select(col("id"), col("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("simhash"), b * bw).bitwiseAND(mask)
+      }: _*)).as(Seq("band", "key")))
+    val l = banded.select(col("band"), col("key"), col("id").as("a"), col("simhash").as("fa"))
+    val r = banded.select(col("band"), col("key"), col("id").as("b"), col("simhash").as("fb"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("fa"), col("fb")).distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
   /** Exact n-gram Jaccard similarity for pairs blocked by a shared rare
     * shingle. The shared-shingle join is bounded per shingle by `maxBucket`
     * (drop ubiquitous shingles — the classic stopword-block guard, and the

@@ -91,6 +91,16 @@ object Multimodal {
       octet_length(col("payload")).as("byte_len"),
       md5(col("payload")).as("checksum"))
 
+  /** Fully declarative frame-sample plan (the oracle-checkable variant of
+    * [[frameSamplePlan]]): frame count derives from byte_len — a portable
+    * stand-in for the codec's header read — and the fan-out is the same
+    * explode-over-stride-sequence; no stub on the path. */
+  def frameSampleMeta(media: DataFrame, stride: Int): DataFrame =
+    metaColumns(media).filter(col("kind") === "video")
+      .withColumn("n_frames", (pmod(col("byte_len"), lit(240)) + 1).cast("int"))
+      .withColumn("frame", explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .select(col("doc_id"), col("frame").cast("long").as("frame"), col("checksum"))
+
   /** Deterministic frame sampling plan for video payloads: every `stride`-th
     * frame index up to the (stubbed) frame count — the Spark-side shape of
     * a frame-extraction fan-out (explode), with the decode itself stubbed. */

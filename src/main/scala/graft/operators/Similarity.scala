@@ -9,15 +9,21 @@ import org.apache.spark.sql.expressions.Window
   * Two paths, per the scale playbook:
   *  - brute-force cosine top-k — the exact baseline; one broadcast of the
   *    (small) query set against the corpus, no corpus shuffle at all;
-  *  - sign-LSH bucketed ANN — random-hyperplane-free: buckets are the signs
-  *    of the first `planes` components (deterministic, reproducible in any
-  *    engine); candidate pairs only form within a bucket, turning the
-  *    quadratic pair space into per-bucket blocks. An IVF variant would
-  *    swap the bucket key for a centroid id — same join shape.
+  *  - seeded-hyperplane LSH ANN — bucket = sign bits of the embedding's dot
+  *    products with `planes` pseudo-random ±1 hyperplanes. The weights are
+  *    deterministic constants (md5 parity of "hp:<seed>:<plane>:<dim>"),
+  *    folded into the plan as array literals, so buckets are de-correlated
+  *    across dimensions (unlike raw component signs, which collapse after
+  *    normalization) and bit-reproducible in any engine. Candidate pairs
+  *    only form within a bucket, and oversized buckets are dropped by the
+  *    `maxBucket` guard — the same explicit skew cap as
+  *    [[Dedup.ngramJaccardPairs]]: without it one degenerate bucket turns
+  *    the pair space quadratic. An IVF variant would swap the bucket key
+  *    for a centroid id — same join shape.
   *
   * All arithmetic is `zip_with`/`aggregate` over array columns (codegen'd);
-  * values are cast to double before the dot product so results are
-  * bit-reproducible across engines.
+  * values are cast to double before the dot product and folded in index
+  * order so results are bit-reproducible across engines.
   */
 object Similarity {
 
@@ -43,19 +49,42 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 4).as("sim"))
   }
 
-  /** Deterministic sign-LSH bucket key: the sign bits of the first `planes`
-    * embedding components packed into a long. */
-  def signBucket(emb: Column, planes: Int): Column =
+  /** Seeded ±1 hyperplane weights: +1 when the top bit of
+    * md5("hp:<seed>:<plane>:<j>") is set, else -1. Pure deterministic
+    * constants — the DuckDB oracle inlines the identical values. */
+  def hyperplaneWeights(plane: Int, dim: Int, seed: Int = 42): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { j =>
+      val h = md.digest(s"hp:$seed:$plane:$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1.0 else -1.0
+    }
+  }
+
+  /** LSH bucket key: bit `i` set iff dot(emb, hyperplane_i) > 0. The
+    * hyperplanes ride along as array literals (no shuffle, no UDF). */
+  def hyperplaneBucket(emb: Column, planes: Int, dim: Int, seed: Int = 42): Column =
     (0 until planes).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(when(element_at(emb, i + 1) > 0f, shiftleft(lit(1L), i)).otherwise(0L))
+      val w = array(hyperplaneWeights(i, dim, seed).map(lit): _*)
+      acc.bitwiseOR(when(dot(emb, w) > 0d, shiftleft(lit(1L), i)).otherwise(0L))
     }
 
-  /** LSH-bucketed ANN: candidate neighbours share the sign-bucket; top-k by
-    * cosine within bucket. Recall < 1 by design; the bench compares its
-    * speed and overlap against [[bruteForceTopK]]. */
-  def lshTopK(corpus: DataFrame, k: Int, planes: Int = 8): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), planes).as("bucket"))
+  /** Drop rows whose bucket holds more than `maxBucket` members — the
+    * explicit cap that keeps the within-bucket self-join sub-quadratic even
+    * on a skew-sign corpus (e.g. all-positive embeddings after ReLU). */
+  private def capBuckets(b: DataFrame, maxBucket: Int): DataFrame = {
+    val sizes = b.groupBy("bucket").count().filter(col("count") <= maxBucket)
+    b.join(sizes.select("bucket"), Seq("bucket"), "left_semi")
+  }
+
+  /** LSH-bucketed ANN: candidate neighbours share the hyperplane bucket;
+    * top-k by cosine within bucket. Recall < 1 by design; the bench compares
+    * its speed and overlap against [[bruteForceTopK]]. */
+  def lshTopK(corpus: DataFrame, k: Int, planes: Int = 8, dim: Int = 64,
+              seed: Int = 42, maxBucket: Int = 10000): DataFrame = {
+    val b = capBuckets(
+      corpus.select(col("vec_id"), col("embedding"),
+        hyperplaneBucket(col("embedding"), planes, dim, seed).as("bucket")),
+      maxBucket)
     val l = b.select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val r = b.select(col("bucket"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val scored = l.join(r, Seq("bucket"))
@@ -67,14 +96,19 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 4).as("sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (blocked by label or bucket). */
+  /** Embedding-cosine near-duplicate pairs, blocked by the seeded
+    * hyperplane bucket (no label column needed — real corpora have none)
+    * and capped by `maxBucket`. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-                         blockCol: String = "label"): DataFrame = {
-    val l = embeddings.select(col(blockCol).as("blk"), col("vec_id").as("a"),
-      col("embedding").as("ea"))
-    val r = embeddings.select(col(blockCol).as("blk"), col("vec_id").as("b"),
-      col("embedding").as("eb"))
-    l.join(r, Seq("blk"))
+                         planes: Int = 4, dim: Int = 64, seed: Int = 42,
+                         maxBucket: Int = 10000): DataFrame = {
+    val b = capBuckets(
+      embeddings.select(col("vec_id"), col("embedding"),
+        hyperplaneBucket(col("embedding"), planes, dim, seed).as("bucket")),
+      maxBucket)
+    val l = b.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = b.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
       .withColumn("sim", cosine(col("ea"), col("eb")))
       .filter(col("sim") >= threshold)

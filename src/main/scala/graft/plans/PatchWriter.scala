@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.rdf.NQuadFormatter
 
@@ -9,82 +10,115 @@ import graft.rdf.NQuadFormatter
   *
   * Reference behavior re-expressed Spark-first:
   *  - group output by graph, base64 directory name per graph
-  *    (split-graphs.sh:88-97)            -> `partitionBy("g_b64")`
-  *  - `maxq` quads per file (generate-rdfpatch.sh:16) -> `maxRecordsPerFile`
-  *  - header comment lines `# at checkpoint / # graph / # base64 / # amount`
-  *    (buffer_nquads.sql:55-58)          -> header rows unioned in with a
-  *    sort key so they sort before the body within each graph partition
+  *    (split-graphs.sh:88-97)            -> one directory per g_b64
+  *  - `maxq` quads per file (generate-rdfpatch.sh:16) -> deterministic
+  *    chunk ids assigned by a DISTRIBUTED two-pass row numbering (below)
+  *  - every chunk file carries the reference's 4-line header with that
+  *    chunk's own quad count and the exact label padding of
+  *    vql_print_graph (buffer_nquads.sql:55-58): values start at col 18
   *  - file naming `rdf_out_<ts14>-<serial14>` (generate-rdfpatch.sh:210-217)
-  *    -> post-commit metadata-only rename of part files (no data movement)
+  *    -> files are written under their final names by the write tasks
+  *    themselves; no driver-side rename loop, no per-file driver I/O
   *
-  * The whole job is one exchange (repartition by graph) + sorted write —
-  * the reference's two interchangeable strategies (hash-buffer
-  * buffer_nquads.sql vs sort-stream split_nquads.sql) collapse into
-  * Spark's sort-within-partitions write, which spills instead of OOMing
-  * (the reference documents the OOM risk at buffer_nquads.sql:7).
+  * Scale shape. A naive `row_number over (partition by graph)` forces an
+  * entire graph through one task (a single-graph 100 TB store = one task),
+  * and the old post-commit rename was O(files) on the driver. Instead:
+  *
+  *   1. split each graph into `P` uniform sub-streams by a hash of the
+  *      line (`sub`), count rows per (graph, sub) — a tiny aggregate;
+  *   2. prefix-sum those counts per graph (window over the COUNTS table,
+  *      P rows per graph — parallel across graphs) -> each sub-stream's
+  *      global offset within its graph;
+  *   3. rank rows within (graph, sub) — bounded ~N/P rows per window
+  *      partition — and derive serial = offset + local rank, so
+  *      chunk = serial / maxq is a deterministic, globally consistent
+  *      per-graph file id with NO single-task bottleneck;
+  *   4. repartition by (graph, chunk) and stream each chunk straight into
+  *      its final `rdf_out_<cp>-<chunk>` file (executor-local writes).
+  *
+  * Rows are ordered inside a chunk by the same hash used for ranking, so
+  * output is byte-deterministic end to end.
   */
 object PatchWriter {
+
+  /** Header lines exactly as vql_print_graph emits them: labels padded so
+    * values start at column 18 (note the TWO spaces after "checkpoint"). */
+  def headerLines(checkpoint: String, graph: String, b64: String, amount: Long): Seq[String] =
+    Seq(
+      s"# at checkpoint  $checkpoint",
+      s"# graph          $graph",
+      s"# base64         $b64",
+      s"# amount         $amount")
 
   /** patches: (op + quad cols). Returns number of files written. */
   def write(spark: SparkSession, patches: DataFrame, outDir: String,
             checkpoint: String, maxq: Int = 100000): Long = {
+    val P = math.max(spark.sparkContext.defaultParallelism * 2, 16)
+
     val withLine = patches
       .withColumn("g_b64", base64(col("g").cast("binary")))
-      .withColumn("seq", lit(1))
       .withColumn("line", NQuadFormatter.patchLineCol(patches))
+      .select(col("g"), col("g_b64"), col("line"))
+      .withColumn("h", xxhash64(col("line")))
+      .withColumn("sub", pmod(col("h"), lit(P)).cast("int"))
 
-    val counts = withLine.groupBy(col("g"), col("g_b64")).count()
-    val headers = counts.select(col("g"), col("g_b64"), col("count"))
-      .select(col("g_b64"),
-        posexplode(array(
-          concat(lit("# at checkpoint "), lit(checkpoint)),
-          concat(lit("# graph         "), col("g")),
-          concat(lit("# base64        "), col("g_b64")),
-          concat(lit("# amount        "), col("count").cast("string"))
-        )).as(Seq("hseq", "line")))
-      .select(col("g_b64"), lit(0).as("seq"), col("hseq"), col("line"))
+    // pass 1: per-(graph, sub) counts -> per-sub offsets (prefix sum over a
+    // tiny table: P rows per graph, windowed per graph => parallel)
+    val counts = withLine.groupBy("g_b64", "sub").agg(count(lit(1)).as("cnt"))
+    val offW = Window.partitionBy("g_b64").orderBy("sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("cnt").over(offW), lit(0L)))
+      .select("g_b64", "sub", "off")
 
-    val body = withLine.select(col("g_b64"), col("seq"), lit(0).as("hseq"), col("line"))
+    // pass 2: local rank within (graph, sub) -> global per-graph serial
+    val rankW = Window.partitionBy("g_b64", "sub").orderBy("h", "line")
+    val serialized = withLine
+      .join(offsets, Seq("g_b64", "sub"))
+      .withColumn("serial", col("off") + row_number().over(rankW) - 1)
+      .withColumn("chunk", (col("serial") / maxq).cast("long"))
 
-    // explicit partition count: with the default (shuffle.partitions) AQE
-    // coalesces the per-graph groups into very few tasks and the sorted
-    // write runs near-serially regardless of cores. Sort keys are the two
-    // small ints that matter (headers before body within a graph) — NOT the
-    // line text; sorting 10^7 ~130-byte strings per task was the dump
-    // path's constant-rate bottleneck.
-    val writeParallelism = math.max(spark.sparkContext.defaultParallelism * 2, 16)
-    headers.unionByName(body)
-      .repartition(writeParallelism, col("g_b64"))
-      .sortWithinPartitions(col("g_b64"), col("seq"), col("hseq"))
-      .select("g_b64", "line")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxq)
-      .partitionBy("g_b64")
-      .text(outDir)
+    // write: each (graph, chunk) group lands as ONE final-named file,
+    // header included, written by the task that owns it (no driver I/O)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fileCount = spark.sparkContext.longAccumulator("patchFiles")
+    val out = outDir
+    val fsRoot = new Path(out)
+    val fs0 = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs0.exists(fsRoot)) fs0.delete(fsRoot, true) // idempotent rewrite (T7)
+    fs0.mkdirs(fsRoot)
 
-    renameToFixtureNames(spark, outDir, checkpoint)
-  }
-
-  /** Rename part-* files to the reference scheme `rdf_out_<cp14>-<serial14>`
-    * within each graph directory (metadata-only; ordering = original part
-    * file order, which follows the sorted write). Returns file count. */
-  def renameToFixtureNames(spark: SparkSession, outDir: String, checkpoint: String): Long = {
-    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = new Path(outDir)
-    if (!fs.exists(base)) return 0L
-    var n = 0L
-    val dirs = fs.listStatus(base).filter(_.isDirectory)
-    dirs.foreach { d =>
-      val parts = fs.listStatus(d.getPath)
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        .sortBy(_.getPath.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        val target = new Path(d.getPath, f"rdf_out_$checkpoint-$i%014d")
-        fs.rename(f.getPath, target)
-        n += 1
+    serialized
+      .repartition(P, col("g_b64"), col("chunk"))
+      .sortWithinPartitions(col("g_b64"), col("chunk"), col("serial"))
+      .select("g", "g_b64", "chunk", "line")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = new Path(out).getFileSystem(hconf.value)
+        var cur: (String, Long) = null
+        var w: java.io.BufferedWriter = null
+        var buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        var curG = ""
+        def flush(): Unit = if (cur != null) {
+          val (b64, chunk) = cur
+          val p = new Path(new Path(out, s"g_b64=$b64"), f"rdf_out_$checkpoint-$chunk%014d")
+          val os = fs.create(p, true)
+          w = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
+          headerLines(checkpoint, curG, b64, buf.size).foreach { l => w.write(l); w.write('\n') }
+          buf.foreach { l => w.write(l); w.write('\n') }
+          w.close()
+          fileCount.add(1L)
+          buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        }
+        it.foreach { r =>
+          val key = (r.getString(1), r.getLong(2))
+          if (cur == null || key != cur) { flush(); cur = key; curG = r.getString(0) }
+          buf += r.getString(3)
+        }
+        flush()
       }
-    }
-    n
+    fileCount.value
   }
 
   /** Read a patch dir back (for tests / reconciliation). */

@@ -23,21 +23,26 @@ object QuadDiff {
   val quadCols: Seq[String] = Seq("s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
 
   /** Set-semantics diff: rows in `next` not in `prev` -> op '+', rows in
-    * `prev` not in `next` -> op '-'. Inputs may carry duplicates; the signed
-    * sum handles multiplicity (delta sign decides the op). */
+    * `prev` not in `next` -> op '-'. Inputs may carry duplicates. */
   def diff(prev: DataFrame, next: DataFrame): DataFrame =
     diffOn(prev, next, quadCols)
 
-  /** Generic signed-multiset diff on arbitrary key columns. */
+  /** Generic TRUE-SET diff on arbitrary key columns, duplicate-tolerant in
+    * ONE aggregation: tag prev rows w=1 and next rows w=2; sum(DISTINCT w)
+    * per key is 1 (prev-only -> '-'), 2 (next-only -> '+') or 3 (both ->
+    * no change). Duplicates within a side collapse under DISTINCT, so
+    * prev=[q,q] vs next=[q] correctly emits nothing — no spurious '-' (the
+    * signed-multiset formulation got this wrong). Still a single hash agg
+    * with map-side partial combine. */
   def diffOn(prev: DataFrame, next: DataFrame, cols: Seq[String]): DataFrame = {
-    val p = prev.select(cols.map(col): _*).withColumn("w", lit(-1L))
-    val n = next.select(cols.map(col): _*).withColumn("w", lit(1L))
+    val p = prev.select(cols.map(col): _*).withColumn("w", lit(1L))
+    val n = next.select(cols.map(col): _*).withColumn("w", lit(2L))
     p.unionByName(n)
       .groupBy(cols.map(col): _*)
-      .agg(sum(col("w")).as("delta"))
-      .filter(col("delta") =!= 0L)
-      .withColumn("op", when(col("delta") > 0, lit("+")).otherwise(lit("-")))
-      .drop("delta")
+      .agg(sum_distinct(col("w")).as("pres"))
+      .filter(col("pres") =!= 3L)
+      .withColumn("op", when(col("pres") === 2L, lit("+")).otherwise(lit("-")))
+      .drop("pres")
   }
 
   /** Support-count transition diff, for facts contributed by many pages

@@ -1,31 +1,44 @@
 package graft.publish
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
 
 /** S7/W2 — the resourcesync-generator re-expressed: package committed patch
-  * files into fixed-size batches with per-resource checksums and a manifest
-  * table (the reference's zips + manifest_*.xml + resource-dump.xml,
-  * zipsynchronizer.py:259-312, syncdirector.py:70-123).
+  * files into fixed-size zip batches with per-resource checksums, and publish
+  * the ResourceSync metadata set (manifest_*.xml, resource-dump.xml,
+  * capability-list.xml, .well-known/resourcesync) exactly as
+  * zipsynchronizer.py:111-312 and syncdirector.py:70-123 do.
   *
   * Spark-first shape: the file inventory is read with the `binaryFile`
   * source (distributed, executor-local IO), checksums are `md5(content)`
-  * inside the scan stage, and the batch windows are a row_number over the
-  * committed-file order — the reference's complete `part_def_N` vs
-  * provisional `part_end_N` split (zipsynchronizer.py:133-173) becomes an
-  * `is_complete` flag on the last window: an incomplete window is rewritten
-  * on the next run (streaming update-mode semantics, SURVEY §2.7 W2).
+  * inside the scan stage, and batch windows are per-GRAPH row_numbers (the
+  * window partitions by graph_b64 — never a global single-task sort). Zip
+  * creation is a distributed foreachPartition keyed by (graph, batch): each
+  * task streams its member files straight into the final zip. Only the tiny
+  * per-zip summary returns to the driver for the XML writes.
+  *
+  * The reference's complete `part_def_N` vs provisional `part_end_N` split
+  * (zipsynchronizer.py:133-173) is the `is_complete` flag on the last
+  * window: an incomplete window is deleted and rebuilt on the next run IF
+  * its membership changed (J3 identity comparison, zipsynchronizer.py:
+  * 149-156), and indices increase monotonically across runs exactly like
+  * create_zip's max-index+1 scan (zipsynchronizer.py:274-281).
   */
 object ManifestBuilder {
 
   /** Per-resource manifest over a committed patch directory:
-    * (resource, graph_b64, length, md5, lastmod, batch, is_complete). */
+    * (resource, graph_b64, length, md5, lastmod, batch, is_complete).
+    * Batch ids are assigned per graph (partitioned window — the global
+    * Window.orderBy of the first cut funneled every file through one task). */
   def build(spark: SparkSession, patchDir: String, filesPerBatch: Int = 1000): DataFrame = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "rdf_out_*")
       .option("recursiveFileLookup", "true")
       .load(patchDir)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("resource"))
+    val w = Window.partitionBy(col("graph_b64")).orderBy(col("resource"))
     val inv = files.select(
         col("path").as("resource"),
         regexp_extract(col("path"), "g_b64=([^/]+)/", 1).as("graph_b64"),
@@ -34,8 +47,8 @@ object ManifestBuilder {
         date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("lastmod"))
       .withColumn("rn", row_number().over(w))
       .withColumn("batch", floor((col("rn") - 1) / filesPerBatch).cast("long"))
-    val totals = inv.groupBy("batch").agg(count(lit(1)).as("n_in_batch"))
-    inv.join(totals, Seq("batch"))
+    val totals = inv.groupBy("graph_b64", "batch").agg(count(lit(1)).as("n_in_batch"))
+    inv.join(totals, Seq("graph_b64", "batch"))
       .withColumn("is_complete", col("n_in_batch") === filesPerBatch)
       .drop("rn", "n_in_batch")
   }
@@ -52,8 +65,325 @@ object ManifestBuilder {
     * entries; ≤50k items / 50MB limits from zipsynchronizer.py:26-31 are
     * enforced by construction via filesPerBatch). */
   def batchSummary(manifest: DataFrame): DataFrame =
-    manifest.groupBy("batch", "is_complete")
+    manifest.groupBy("graph_b64", "batch", "is_complete")
       .agg(count(lit(1)).as("n_resources"),
         sum("length").as("total_bytes"),
         max("lastmod").as("lastmod"))
+}
+
+/** The actual artifact emitter: zips + the four ResourceSync XML kinds. */
+object ZipPublisher {
+
+  final case class ZipInfo(graph_b64: String, zipName: String, complete: Boolean,
+                           nResources: Long, length: Long, md5: String, lastmod: String)
+
+  private val XmlNs =
+    """xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" xmlns:rs="http://www.openarchives.org/rs/terms/""""
+
+  private def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeFile(f: FileSystem, p: Path, content: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** resourcedump-manifest XML (the reference's manifest_*.xml,
+    * PREFIX_MANIFEST sidecars): one <url> per packaged resource. */
+  def manifestXml(rows: Seq[(String, String, Long, String)]): String = {
+    val urls = rows.map { case (name, md5v, len, lastmod) =>
+      s"""  <url><loc>$name</loc><lastmod>$lastmod</lastmod><rs:md hash="md5:$md5v" length="$len" path="/$name" type="text/plain"/></url>"""
+    }.mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<urlset $XmlNs>
+       |  <rs:md capability="resourcedump-manifest"/>
+       |$urls
+       |</urlset>""".stripMargin
+  }
+
+  /** resource-dump.xml: one <url> per published zip, rs:ln content link to
+    * its manifest (zipsynchronizer.publish_metadata). */
+  def resourceDumpXml(publishUrl: String, zips: Seq[ZipInfo], at: String): String = {
+    val urls = zips.sortBy(_.zipName).map { z =>
+      s"""  <url><loc>$publishUrl${z.zipName}.zip</loc><lastmod>${z.lastmod}</lastmod><rs:md hash="md5:${z.md5}" length="${z.length}" type="application/zip"/><rs:ln rel="content" href="${publishUrl}manifest_${z.zipName}.xml"/></url>"""
+    }.mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<urlset $XmlNs>
+       |  <rs:ln rel="up" href="${publishUrl}capability-list.xml"/>
+       |  <rs:md capability="resourcedump" at="$at"/>
+       |$urls
+       |</urlset>""".stripMargin
+  }
+
+  def capabilityListXml(publishUrl: String, srcDescUrl: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<urlset $XmlNs>
+       |  <rs:ln rel="up" href="$srcDescUrl"/>
+       |  <rs:md capability="capabilitylist"/>
+       |  <url><loc>${publishUrl}resource-dump.xml</loc><rs:md capability="resourcedump"/></url>
+       |</urlset>""".stripMargin
+
+  /** .well-known/resourcesync (source description, syncdirector.py:92-123):
+    * one capability-list link per published graph directory. */
+  def sourceDescriptionXml(capaUrls: Seq[String]): String = {
+    val urls = capaUrls.sorted.map { u =>
+      s"""  <url><loc>$u</loc><rs:md capability="capabilitylist"/></url>"""
+    }.mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<urlset $XmlNs>
+       |  <rs:md capability="description"/>
+       |$urls
+       |</urlset>""".stripMargin
+  }
+
+  /** Publish one committed patch directory into `sinkDir`:
+    *
+    *  - complete windows of `filesPerZip` resources -> `part_def_N.zip`
+    *    (immutable; never rewritten once present);
+    *  - the remainder -> `part_end_N.zip`, rebuilt ONLY when its membership
+    *    changed (old end zip + sidecars removed, index bumped — exactly
+    *    do_publish's evolution);
+    *  - every zip embeds `manifest.xml` and gets a `manifest_<zip>.xml`
+    *    sidecar; per-graph `resource-dump.xml` + `capability-list.xml`; one
+    *    top-level `.well-known/resourcesync` over all graphs.
+    *
+    * Zip bytes are written by executors (foreachPartition over
+    * (graph, batch) groups); the driver only writes the small XML set.
+    * Published state (which resources sit in which complete zip) lives in a
+    * parquet table `sinkDir/_published` — the Spark-native stand-in for the
+    * reference's move-files-out-of-source-dir bookkeeping.
+    *
+    * Returns per-zip summary rows for this run (empty if nothing changed).
+    */
+  def publish(spark: SparkSession, patchDir: String, sinkDir: String,
+              filesPerZip: Int = 1000,
+              publishUrl: String = "http://example.com/"): Seq[ZipInfo] = {
+    import spark.implicits._
+    val f = fs(spark, sinkDir)
+    f.mkdirs(new Path(sinkDir))
+    val stateDir = s"$sinkDir/_published"
+    val hasState = f.exists(new Path(stateDir))
+
+    // inventory minus already-definitively-published resources
+    val inv0 = ManifestBuilder.build(spark, patchDir, filesPerZip)
+      .drop("batch", "is_complete")
+    val inv =
+      if (!hasState) inv0
+      else inv0.join(spark.read.parquet(stateDir).select("resource"),
+        Seq("resource"), "left_anti")
+
+    // re-window the unpublished remainder per graph
+    val w = Window.partitionBy(col("graph_b64")).orderBy(col("resource"))
+    val totals = inv.groupBy("graph_b64").agg(count(lit(1)).as("n_g"))
+    val windowed = inv.withColumn("rn", row_number().over(w))
+      .join(totals, Seq("graph_b64"))
+      .withColumn("batch", floor((col("rn") - 1) / filesPerZip).cast("long"))
+      .withColumn("is_complete",
+        (col("batch") + 1) * filesPerZip <= col("n_g"))
+      .localCheckpoint() // consumed 3x below (end check, naming, zip build)
+
+    // existing sink state: tiny per-graph maps (one entry per graph)
+    val prevEnd: Map[String, (Int, Set[String])] = existingEndParts(spark, sinkDir)
+    val defIdx: Map[String, Int] = existingMaxIndex(spark, sinkDir, "part_def_")
+    val endIdxMax: Map[String, Int] = existingMaxIndex(spark, sinkDir, "part_end_")
+
+    // J3: per-graph end-part membership (basename set) — ONE small row per
+    // graph comes back, never the file rows
+    val endMembership = windowed.filter(!col("is_complete"))
+      .withColumn("base", regexp_extract(col("resource"), "([^/]+)$", 1))
+      .groupBy("graph_b64")
+      .agg(sort_array(collect_list(col("base"))).as("members"))
+      .as[(String, Seq[String])].collect()
+      .map { case (g, m) => g -> m.toSet }.toMap
+    val endChanged: Set[String] = endMembership.collect {
+      case (g, members) if !prevEnd.get(g).exists(_._2 == members) => g
+    }.toSet
+
+    // zip NAME assignment in the plan (reference max-index+1 semantics,
+    // zipsynchronizer.py:274-281): def name = defBase(g) + batch,
+    // end name = endBase(g); a tiny per-graph base table joined in
+    val baseDf = broadcast(
+      (endMembership.keySet ++ defIdx.keySet ++ endIdxMax.keySet).toSeq
+        .map(g => (g, defIdx.getOrElse(g, -1) + 1, endIdxMax.getOrElse(g, -1) + 1))
+        .toDF("graph_b64", "defBase", "endBase"))
+    val assigned = windowed.join(baseDf, Seq("graph_b64"), "left")
+      .withColumn("defBase", coalesce(col("defBase"), lit(0)))
+      .withColumn("endBase", coalesce(col("endBase"), lit(0)))
+      .filter(col("is_complete") ||
+        col("graph_b64").isin(endChanged.toSeq: _*))
+      .withColumn("zipName",
+        when(col("is_complete"),
+          format_string("part_def_%05d", (col("defBase") + col("batch")).cast("int")))
+          .otherwise(format_string("part_end_%05d", col("endBase"))))
+
+    // distributed zip build: stream each (graph, zip) group's files straight
+    // into the final zip; only the one-line summary per zip returns
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val sink = sinkDir
+    val built = assigned
+      .select("graph_b64", "zipName", "is_complete", "resource", "md5", "length", "lastmod")
+      .repartition(col("graph_b64"), col("zipName"))
+      .sortWithinPartitions("graph_b64", "zipName", "resource")
+      .mapPartitions { it =>
+        val groups = new Iterator[(String, String, Boolean, Seq[(String, String, Long, String)])] {
+          val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, String, Boolean, Seq[(String, String, Long, String)]) = {
+            val h = buf.head
+            val (g, name, complete) = (h.getString(0), h.getString(1), h.getBoolean(2))
+            val members = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, String)]
+            while (buf.hasNext && buf.head.getString(0) == g && buf.head.getString(1) == name) {
+              val r = buf.next()
+              members += ((r.getString(3), r.getString(4), r.getLong(5), r.getString(6)))
+            }
+            (g, name, complete, members.toSeq)
+          }
+        }
+        groups.map { case (g, name, complete, members) =>
+          val zfs = new Path(sink).getFileSystem(hconf.value)
+          val gDir = new Path(sink, g)
+          zfs.mkdirs(gDir)
+          val zipPath = new Path(gDir, s"$name.zip")
+          val manifest = manifestXml(members.map { case (res, m, len, lm) =>
+            (res.substring(res.lastIndexOf('/') + 1), m, len, lm)
+          })
+          val os = zfs.create(zipPath, true)
+          val zos = new java.util.zip.ZipOutputStream(os)
+          zos.setLevel(1) // speed over ratio: patch text compresses well anyway
+          zos.putNextEntry(new java.util.zip.ZipEntry("manifest.xml"))
+          zos.write(manifest.getBytes(StandardCharsets.UTF_8)); zos.closeEntry()
+          members.foreach { case (res, _, _, _) =>
+            val p = new Path(res.stripPrefix("file:"))
+            zos.putNextEntry(new java.util.zip.ZipEntry(p.getName))
+            val in = zfs.open(p)
+            try org.apache.commons.io.IOUtils.copy(in, zos) finally in.close()
+            zos.closeEntry()
+          }
+          zos.close()
+          val st = zfs.getFileStatus(zipPath)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val zin = zfs.open(zipPath)
+          val rbuf = new Array[Byte](65536)
+          try {
+            var n = zin.read(rbuf)
+            while (n >= 0) { if (n > 0) md.update(rbuf, 0, n); n = zin.read(rbuf) }
+          } finally zin.close()
+          val md5hex = md.digest().map("%02x".format(_)).mkString
+          (g, name, complete, members.size.toLong, st.getLen, md5hex,
+            members.map(_._4).max, manifest)
+        }
+      }.collect()
+
+    if (built.isEmpty) return Seq.empty
+
+    // driver: sidecar XMLs + per-graph metadata + state bookkeeping (all of
+    // it over the per-ZIP summaries — one row per thousand patch files)
+    val summaries = scala.collection.mutable.ArrayBuffer.empty[ZipInfo]
+    val nowIso = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+    // a graph whose previous end part was superseded this run (rebuilt
+    // changed, or its members got absorbed into complete zips)
+    val touchedGraphs = built.map(_._1).toSet
+    val supersededEnd: Set[String] = touchedGraphs.filter(prevEnd.contains)
+    built.foreach { case (g, name, complete, n, len, md5v, lastmod, manifest) =>
+      val gDir = new Path(sinkDir, g)
+      writeFile(f, new Path(gDir, s"manifest_$name.xml"), manifest)
+      if (!complete) {
+        // end-part resource list sidecar (create_zip write_list=True)
+        writeFile(f, new Path(gDir, s"$name.xml"), manifest)
+      }
+      summaries += ZipInfo(g, name, complete, n, len, md5v, lastmod)
+    }
+    // drop superseded old end parts + sidecars (do_publish tail)
+    supersededEnd.foreach { g =>
+      val gDir = new Path(sinkDir, g)
+      prevEnd.get(g).foreach { case (oldIdx, _) =>
+        val old = f"part_end_$oldIdx%05d"
+        // never delete a zip this run just re-created under the same name
+        if (!summaries.exists(z => z.graph_b64 == g && z.zipName == old))
+          Seq(s"$old.zip", s"$old.xml", s"manifest_$old.xml")
+            .foreach(s => f.delete(new Path(gDir, s), false))
+      }
+    }
+    // published-state bookkeeping: complete-zip members, written distributed
+    assigned.filter(col("is_complete"))
+      .select(col("resource"), col("zipName").as("zip"))
+      .write.mode("append").parquet(stateDir)
+
+    // per-graph resource-dump.xml (accumulating: previous defs stay listed)
+    summaries.groupBy(_.graph_b64).foreach { case (g, zs) =>
+      val gDir = new Path(sinkDir, g)
+      val gUrl = s"$publishUrl$g/"
+      val dumpPath = new Path(gDir, "resource-dump.xml")
+      val already: Seq[ZipInfo] = if (f.exists(dumpPath)) parseDumpZips(readFile(f, dumpPath), g) else Seq.empty
+      val removedEnd = prevEnd.get(g).map { case (i, _) => f"part_end_$i%05d" }.toSet
+      val keep = already.filterNot(z => removedEnd.contains(z.zipName))
+        .filterNot(z => zs.exists(_.zipName == z.zipName))
+      writeFile(f, dumpPath, resourceDumpXml(gUrl, keep ++ zs.toSeq, nowIso))
+      val capaPath = new Path(gDir, "capability-list.xml")
+      if (!f.exists(capaPath))
+        writeFile(f, capaPath,
+          capabilityListXml(gUrl, s"$publishUrl.well-known/resourcesync"))
+    }
+
+    // top-level source description over every graph dir with a capability list
+    val graphs = f.listStatus(new Path(sinkDir)).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).filterNot(_.startsWith("."))
+      .filter(g => f.exists(new Path(new Path(sinkDir, g), "capability-list.xml")))
+    f.mkdirs(new Path(sinkDir, ".well-known"))
+    writeFile(f, new Path(sinkDir, ".well-known/resourcesync"),
+      sourceDescriptionXml(graphs.toSeq.map(g => s"$publishUrl$g/capability-list.xml")))
+
+    summaries.toSeq
+  }
+
+  /** Existing end part per graph: (index, member resource file names). */
+  private def existingEndParts(spark: SparkSession, sinkDir: String): Map[String, (Int, Set[String])] = {
+    val f = fs(spark, sinkDir)
+    if (!f.exists(new Path(sinkDir))) return Map.empty
+    f.listStatus(new Path(sinkDir)).filter(_.isDirectory).flatMap { d =>
+      val ends = f.listStatus(d.getPath)
+        .map(_.getPath.getName).filter(n => n.startsWith("part_end_") && n.endsWith(".zip"))
+      if (ends.isEmpty) None
+      else {
+        val idx = ends.map(n => n.stripPrefix("part_end_").stripSuffix(".zip").toInt).max
+        val listPath = new Path(d.getPath, f"part_end_$idx%05d.xml")
+        val members: Set[String] =
+          if (!f.exists(listPath)) Set.empty
+          else "<loc>([^<]+)</loc>".r.findAllMatchIn(readFile(f, listPath))
+            .map(_.group(1)).toSet
+        // stored names are basenames; compare on basenames
+        Some(d.getPath.getName -> (idx, members))
+      }
+    }.toMap
+  }
+
+  private def existingMaxIndex(spark: SparkSession, sinkDir: String, prefix: String): Map[String, Int] = {
+    val f = fs(spark, sinkDir)
+    if (!f.exists(new Path(sinkDir))) return Map.empty
+    f.listStatus(new Path(sinkDir)).filter(_.isDirectory).flatMap { d =>
+      val idxs = f.listStatus(d.getPath).map(_.getPath.getName)
+        .filter(n => n.startsWith(prefix) && n.endsWith(".zip"))
+        .map(_.stripPrefix(prefix).stripSuffix(".zip").toInt)
+      if (idxs.isEmpty) None else Some(d.getPath.getName -> idxs.max)
+    }.toMap
+  }
+
+  /** Minimal parse of our own resource-dump.xml back into ZipInfo rows. */
+  private def parseDumpZips(xml: String, g: String): Seq[ZipInfo] = {
+    val url = ("""<url><loc>[^<]*/([^/<]+)\.zip</loc><lastmod>([^<]*)</lastmod>""" +
+      """<rs:md hash="md5:([0-9a-f]+)" length="(\d+)" type="application/zip"/>""").r
+    url.findAllMatchIn(xml).map { m =>
+      ZipInfo(g, m.group(1), m.group(1).startsWith("part_def_"),
+        0L, m.group(4).toLong, m.group(3), m.group(2))
+    }.toSeq
+  }
+
 }

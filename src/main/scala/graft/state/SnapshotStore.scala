@@ -35,8 +35,11 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
 
-  def bucketCol(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(key), lit(numBuckets)).cast("int")
+  /** Bucket id from one or more key columns. xxhash64 is variadic — hashing
+    * the columns directly avoids materializing a concatenated key string per
+    * row (the row/string allocation the 8->32 scaling profile blamed). */
+  def bucketCol(keys: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    pmod(xxhash64(keys: _*), lit(numBuckets)).cast("int")
 
   // --- pointer / manifest ------------------------------------------------
 

@@ -108,7 +108,7 @@ final class QuadLogPipeline(
     val cBack = contrib.read().get
     val supports = cBack.groupBy(quadCols.map(col): _*)
       .agg(count_distinct(col("url")).as("support"))
-      .withColumn("bucket", facts.bucketCol(quadKey))
+      .withColumn("bucket", facts.bucketCol(quadKey: _*))
     timed("bootstrap.commitFacts") {
       facts.commitFull(supports, 0L)
       facts.setEpoch(epoch)
@@ -158,7 +158,7 @@ final class QuadLogPipeline(
       .groupBy(quadCols.map(col): _*)
       .agg(sum("w").as("d"))
       .filter(col("d") =!= 0L)
-      .withColumn("bucket", facts.bucketCol(quadKey))
+      .withColumn("bucket", facts.bucketCol(quadKey: _*))
       .localCheckpoint() // small net-delta set; cuts the extraction lineage
 
     val factBuckets = timed("incr.factBuckets") {
@@ -176,7 +176,7 @@ final class QuadLogPipeline(
 
     // commit stores (copy-on-write on touched buckets only)
     timed("incr.mergeFacts") {
-      facts.mergeBuckets(newFactRows.withColumn("bucket", facts.bucketCol(quadKey)),
+      facts.mergeBuckets(newFactRows.withColumn("bucket", facts.bucketCol(quadKey: _*)),
         factBuckets, batchId)
     }
     val keptOld = oldInBuckets match {
@@ -209,8 +209,9 @@ final class QuadLogPipeline(
     r
   }
 
-  private def quadKey =
-    concat_ws("", quadCols.map(col): _*)
+  /** Quad-identity bucket key: the columns themselves — bucketCol hashes
+    * them variadically (xxhash64(s,p,...)), never a concatenated string. */
+  private def quadKey = quadCols.map(col)
 
   // --- lineage / checkpoint --------------------------------------------------
 

@@ -29,6 +29,23 @@ class ConnectedComponentsSpec extends GraftSpec {
     assert(comps.select("component").distinct().count() == 1)
   }
 
+  test("distributed path: long chain converges in O(log n) rounds") {
+    // diameter 200 >> maxIter 12: min-label propagation would silently
+    // return wrong labels here; star contraction converges logarithmically
+    val chain = (0 until 200).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("src", "dst")
+    val comps = ConnectedComponents.run(spark, chain, maxIter = 12, smallGraphCutoff = 0)
+    assert(comps.select("component").distinct().collect().map(_.getString(0)).toSeq == Seq("v000"))
+    assert(comps.count() == 201)
+  }
+
+  test("non-convergence raises instead of returning wrong labels") {
+    val chain = (0 until 300).map(i => (f"w$i%03d", f"w${i + 1}%03d")).toDF("src", "dst")
+    val ex = intercept[RuntimeException] {
+      ConnectedComponents.run(spark, chain, maxIter = 1, smallGraphCutoff = 0).collect()
+    }
+    assert(ex.getMessage.contains("no fixpoint"))
+  }
+
   test("distributed iterative-join path == driver union-find fast path") {
     val edges = ((0 until 40).map(i => (s"c$i", s"c${i + 1}")) ++ // long chain
       (1 to 60).map(i => ("hub", s"h$i")) ++                      // star (skew)

@@ -4,6 +4,7 @@ import graft.GraftSpec
 import graft.sources.PageGen
 import graft.streaming.QuadLogPipeline
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
 
 class PublishSpec extends GraftSpec {
   import spark.implicits._
@@ -19,9 +20,11 @@ class PublishSpec extends GraftSpec {
     assert(row.getAs[String]("md5").length == 32)
     assert(row.getAs[Long]("length") > 0)
     assert(row.getAs[String]("graph_b64").nonEmpty)
-    // window packaging: all but at most one batch complete
+    // per-GRAPH window packaging: at most one incomplete batch per graph
     val summary = ManifestBuilder.batchSummary(manifest).collect()
-    assert(summary.count(!_.getAs[Boolean]("is_complete")) <= 1)
+    val incompletePerGraph = summary.filter(!_.getAs[Boolean]("is_complete"))
+      .groupBy(_.getAs[String]("graph_b64")).view.mapValues(_.length)
+    assert(incompletePerGraph.values.forall(_ <= 1))
   }
 
   test("end-part republish only when content changed (J3 anti-join)") {
@@ -36,5 +39,88 @@ class PublishSpec extends GraftSpec {
     val none = m1.limit(0)
     val endSize = m1.filter(!col("is_complete")).count()
     assert(ManifestBuilder.changedEndPart(m1, none).count() == endSize)
+  }
+
+  // --- ZipPublisher scenarios (reference test_zipsynchronizer.py:25-94) ---
+
+  private val g64 = java.util.Base64.getEncoder
+    .encodeToString("http://graph.example.org/g1".getBytes("UTF-8"))
+
+  private def writePatch(src: String, serial: Int): Unit = {
+    val dir = Paths.get(src, s"g_b64=$g64")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(f"rdf_out_00000000000000-$serial%014d"),
+      Fixture.sampleBody(serial))
+  }
+  private object Fixture {
+    def sampleBody(i: Int): String =
+      s"# at checkpoint  00000000000000\n+ <http://s$i> <http://p> <http://o> <http://graph.example.org/g1> .\n"
+  }
+  private def exists(p: String): Boolean = new java.io.File(p).exists()
+
+  test("zip publish: zero resources publishes nothing (scenario :25-34)") {
+    val src = tmpDir("pubz_src"); val sink = tmpDir("pubz_sink")
+    val out = ZipPublisher.publish(spark, src, sink, filesPerZip = 3)
+    assert(out.isEmpty)
+    assert(!exists(s"$sink/.well-known/resourcesync"))
+  }
+
+  test("zip publish: complete/end evolution over three runs (scenario :61-94)") {
+    val src = tmpDir("pube_src"); val sink = tmpDir("pube_sink")
+
+    // run 1: 2 resources < filesPerZip -> ONE provisional end part
+    (0 until 2).foreach(writePatch(src, _))
+    val r1 = ZipPublisher.publish(spark, src, sink, filesPerZip = 3)
+    assert(r1.map(_.zipName) == Seq("part_end_00000"))
+    assert(!r1.head.complete && r1.head.nResources == 2)
+    assert(exists(s"$sink/$g64/part_end_00000.zip"))
+    assert(exists(s"$sink/$g64/part_end_00000.xml"))
+    assert(exists(s"$sink/$g64/manifest_part_end_00000.xml"))
+    assert(exists(s"$sink/$g64/resource-dump.xml"))
+    assert(exists(s"$sink/$g64/capability-list.xml"))
+    assert(exists(s"$sink/.well-known/resourcesync"))
+
+    // the zip itself: embedded manifest.xml + the member resources
+    val zf = new java.util.zip.ZipFile(s"$sink/$g64/part_end_00000.zip")
+    val names = zf.entries().asIterator().asScala.map(_.getName).toSet
+    zf.close()
+    assert(names == Set("manifest.xml",
+      "rdf_out_00000000000000-00000000000000", "rdf_out_00000000000000-00000000000001"))
+
+    // run 2: unchanged input -> NOTHING republished (J3 identity)
+    assert(ZipPublisher.publish(spark, src, sink, filesPerZip = 3).isEmpty)
+
+    // run 3: +2 resources (4 total) -> def part of 3 + NEW end part of 1;
+    // the old end part and its sidecars are removed (do_publish tail)
+    (2 until 4).foreach(writePatch(src, _))
+    val r3 = ZipPublisher.publish(spark, src, sink, filesPerZip = 3)
+    assert(r3.map(_.zipName).sorted == Seq("part_def_00000", "part_end_00001"))
+    assert(r3.find(_.complete).get.nResources == 3)
+    assert(exists(s"$sink/$g64/part_def_00000.zip"))
+    assert(exists(s"$sink/$g64/part_end_00001.zip"))
+    assert(!exists(s"$sink/$g64/part_end_00000.zip"))
+    assert(!exists(s"$sink/$g64/manifest_part_end_00000.xml"))
+
+    // resource-dump.xml lists exactly the live zips (def kept, old end gone)
+    val dump = Files.readString(Paths.get(s"$sink/$g64/resource-dump.xml"))
+    assert(dump.contains("part_def_00000.zip"))
+    assert(dump.contains("part_end_00001.zip"))
+    assert(!dump.contains("part_end_00000.zip"))
+    assert(dump.contains("capability=\"resourcedump\""))
+
+    // run 4: idempotent again
+    assert(ZipPublisher.publish(spark, src, sink, filesPerZip = 3).isEmpty)
+
+    // run 5: +3 -> previous end member + new ones regroup: def_00001 + end_00002
+    (4 until 7).foreach(writePatch(src, _))
+    val r5 = ZipPublisher.publish(spark, src, sink, filesPerZip = 3)
+    assert(r5.map(_.zipName).sorted == Seq("part_def_00001", "part_end_00002"))
+    val dump2 = Files.readString(Paths.get(s"$sink/$g64/resource-dump.xml"))
+    assert(dump2.contains("part_def_00000.zip") && dump2.contains("part_def_00001.zip"))
+    assert(!dump2.contains("part_end_00001.zip") && dump2.contains("part_end_00002.zip"))
+  }
+
+  private implicit class IterOps[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
 }

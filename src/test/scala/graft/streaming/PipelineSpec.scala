@@ -64,8 +64,23 @@ class PipelineSpec extends GraftSpec {
     val lines = spark.read.textFile(s"$root/patches/batch_0/*")
     val bodies = lines.filter(l => l.startsWith("+") || l.startsWith("-"))
     assert(bodies.count() == r0.added)
-    // headers present
-    assert(lines.filter(_.startsWith("# at checkpoint")).count() > 0)
+    // headers present, one per FILE, with the reference's exact label
+    // padding (vql_print_graph: values start at column 18) and each file's
+    // own '# amount' equal to its body-line count, body <= maxq
+    assert(lines.filter(_.startsWith("# at checkpoint  ")).count() > 0)
+    val fsDir = new java.io.File(s"$root/patches/batch_0")
+    fsDir.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(f => f.getName.startsWith("rdf_out_")).foreach { f =>
+        val ls = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+        assert(ls(0).startsWith("# at checkpoint  "))
+        assert(ls(1).startsWith("# graph          "))
+        assert(ls(2).startsWith("# base64         "))
+        assert(ls(3).startsWith("# amount         "))
+        val amount = ls(3).substring("# amount         ".length).trim.toLong
+        val body = ls.drop(4)
+        assert(body.forall(l => l.startsWith("+") || l.startsWith("-")))
+        assert(body.size == amount && body.size <= 50)
+      }
     // every body line round-trips through the parser
     val parsed = bodies.map(l => graft.rdf.NTriplesParser.parseLine(l, "x").isDefined)
     assert(parsed.filter(b => !b).count() == 0)
