@@ -65,12 +65,25 @@ object SparkEntry {
   private val ambCtxA = Seq("table", "scan", "merge")   // Part_physical context
   private val ambCtxB = Seq("small", "big", "value")    // Part_logical context
 
+  /** Where q_pipeline_bootstrap materializes its closed-form expected table
+    * for the DuckDB side of the tri-check. */
+  private val expectedBootstrapDir = "/tmp/graft_expected_bootstrap"
+
+  /** Deterministic pipeline root: cleared first — the canonical map is
+    * pipeline STATE, and a leftover map from an earlier process would make
+    * the result depend on history. */
+  private def freshRoot(path: String): String = {
+    val d = new java.io.File(path)
+    if (d.exists()) { import scala.reflect.io.Directory; new Directory(d).deleteRecursively() }
+    path
+  }
+
   /** Flagship: end-to-end KG extraction (pages -> mentions -> links ->
     * canonicalized quads) on a deterministic synthetic page table. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val pages = graft.sources.PageGen.snapshot(spark, 300, 0)
-    new graft.streaming.QuadLogPipeline(spark, "/tmp/graft_entry", numBuckets = 8)
+    new graft.streaming.QuadLogPipeline(spark, freshRoot("/tmp/graft_entry"), numBuckets = 8)
       .extractedQuads(pages)
       .withColumn("op", lit("+"))
   }
@@ -151,6 +164,15 @@ object SparkEntry {
         .groupBy("batch")
         .agg(count(lit(1)).as("n_files"))
         .withColumn("is_complete", (col("n_files") === 100).cast("int"))
+    }),
+
+    // --- A8: first-seen graph-folder index (split-graphs.sh:99-102's
+    // vql_graph_folder.csv: (graph, base64) dimension, insert-if-absent)
+    "q_a8_graph_index" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy("source")
+        .agg(min("doc_id").as("first_seen"))
+        .withColumn("b64", base64(col("source").cast("binary")))
+        .select("source", "b64", "first_seen")
     }),
 
     // --- X5: base64 graph directory names (split-graphs.sh:88-97)
@@ -417,11 +439,18 @@ object SparkEntry {
         .orderBy("source", "lang", "doc_id")
     }),
 
-    // --- end-to-end (rows-only check; no SQL oracle): bootstrap patch set
+    // --- end-to-end flagship: bootstrap patch set, tri-checked against the
+    // closed-form ExpectedKg oracle (plain-Scala re-derivation incl. the
+    // public-xxHash64 bnode ids and the canonical-map closed form); the
+    // expected table is materialized as a parquet side artifact that the
+    // oracle SQL reads back with read_parquet
     "q_pipeline_bootstrap" -> ((s, dir) => {
       import s.implicits._
+      val expected = graft.sources.ExpectedKg.bootstrapQuads(200L, 0)
+      s.createDataset(expected).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(expectedBootstrapDir)
       val pages = graft.sources.PageGen.snapshot(s, 200, 0)
-      new graft.streaming.QuadLogPipeline(s, "/tmp/graft_q_pipeline", numBuckets = 8)
+      new graft.streaming.QuadLogPipeline(s, freshRoot("/tmp/graft_q_pipeline"), numBuckets = 8)
         .extractedQuads(pages).withColumn("op", lit("+"))
     })
   )
@@ -475,6 +504,10 @@ object SparkEntry {
       """SELECT (doc_id // 100)::BIGINT AS batch, count(*)::BIGINT AS n_files,
         |       (count(*) = 100)::INT AS is_complete
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_a8_graph_index" ->
+      """SELECT source, to_base64(encode(source)) AS b64, min(doc_id) AS first_seen
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_x5_base64_dirs" ->
       """SELECT DISTINCT source, to_base64(encode(source)) AS b64 FROM documents""".stripMargin,
@@ -717,6 +750,10 @@ object SparkEntry {
         |GROUP BY n_name""".stripMargin,
 
     "q_o1_cluster_by_graph" ->
-      """SELECT source, lang, doc_id FROM documents ORDER BY source, lang, doc_id""".stripMargin
+      """SELECT source, lang, doc_id FROM documents ORDER BY source, lang, doc_id""".stripMargin,
+
+    "q_pipeline_bootstrap" ->
+      s"""SELECT op, s, p, oLex, oKind, oDtype, oLang, g
+         |FROM read_parquet('$expectedBootstrapDir/*.parquet')""".stripMargin
   )
 }

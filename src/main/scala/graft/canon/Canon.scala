@@ -192,12 +192,37 @@ object IriCanonicalizer {
   /** df(id) of entity IRIs -> canonical map df(id, canonical). */
   def canonicalMap(spark: SparkSession, iris: DataFrame,
                    jaccardThreshold: Double = 0.6): DataFrame = {
-    // character-3-gram shingles of the IRI local name, as a pure expression
-    // (expr form because substring's pos argument is a lambda variable).
-    // localCheckpoint: the IRI dimension is tiny but its lineage is the full
-    // extraction DAG — materialize once so the LSH self-joins and the CC
-    // iterations below never re-run extraction.
-    val toks = iris.localCheckpoint()
+    val irisC = iris.localCheckpoint()
+    mapFromEdges(spark, irisC, verifiedPairs(irisC, jaccardThreshold))
+  }
+
+  /** Monotone-domain extension of a persisted canonical map (pipeline state,
+    * reference T2-style): the domain is (old ids ∪ old canonicals ∪ new
+    * ids); edges are the freshly verified LSH pairs over that whole domain
+    * PLUS the old map's (id -> canonical) links, so clusters never fall
+    * apart even if a later threshold change would no longer pair them.
+    * Representatives stay the deterministic component min — when a new
+    * alias BRIDGES two old clusters the losing cluster's representative
+    * changes, and the caller must rewrite state recorded under it (the
+    * pipeline emits -/+ remap patches; see QuadLogPipeline). */
+  def extendMap(spark: SparkSession, oldMap: DataFrame, newIris: DataFrame,
+                jaccardThreshold: Double = 0.6): DataFrame = {
+    val ids = oldMap.select(col("id"))
+      .union(oldMap.select(col("canonical").as("id")))
+      .union(newIris.select(col("id")))
+      .distinct()
+      .localCheckpoint()
+    val edges = verifiedPairs(ids, jaccardThreshold)
+      .unionByName(oldMap.filter(col("id") =!= col("canonical"))
+        .select(col("id").as("src"), col("canonical").as("dst")))
+    mapFromEdges(spark, ids, edges)
+  }
+
+  /** MinHash-LSH blocked + exact-Jaccard verified coreference candidate
+    * pairs over IRI local-name character-3-gram shingles. */
+  def verifiedPairs(iris: DataFrame, jaccardThreshold: Double): DataFrame = {
+    // expr form because substring's pos argument is a lambda variable
+    val toks = iris
       .withColumn("local",
         lower(regexp_replace(regexp_extract(col("id"), "([^/#]+)$", 1), "[^a-z0-9]", "")))
       .withColumn("toks", expr(
@@ -210,16 +235,20 @@ object IriCanonicalizer {
     // verify candidates with exact Jaccard on the shingle sets
     val ta = toks.select(col("id").as("a"), col("toks").as("ta"))
     val tb = toks.select(col("id").as("b"), col("toks").as("tb"))
-    val verified = pairs.join(ta, Seq("a")).join(tb, Seq("b"))
+    pairs.join(ta, Seq("a")).join(tb, Seq("b"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
       .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("double"))
       .filter(col("uni") > 0 && col("inter") / col("uni") >= jaccardThreshold)
       .select(col("a").as("src"), col("b").as("dst"))
+  }
 
-    val comps = ConnectedComponents.run(spark, verified)
-    // identity rows for unmatched iris
-    iris.join(comps.withColumnRenamed("id", "i2"), iris("id") === col("i2"), "left")
-      .select(iris("id"), coalesce(col("component"), iris("id")).as("canonical"))
+  /** Components over `edges` -> (id, canonical) with identity rows for
+    * unmatched ids. `ids` should be materialized (localCheckpoint) so the
+    * CC iterations never re-run its lineage. */
+  def mapFromEdges(spark: SparkSession, ids: DataFrame, edges: DataFrame): DataFrame = {
+    val comps = ConnectedComponents.run(spark, edges)
+    ids.join(comps.withColumnRenamed("id", "i2"), ids("id") === col("i2"), "left")
+      .select(ids("id"), coalesce(col("component"), ids("id")).as("canonical"))
   }
 
   /** [[canonicalize]] for url-attributed contribution rows (keeps `url`). */

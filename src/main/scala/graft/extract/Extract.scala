@@ -109,7 +109,12 @@ object EntityLinker {
         struct(col("entity"), col("etype"), col("score")),
         struct((-col("score")).as("negScore"), col("entity"))).as("best"))
       .select(col("url"), col("g"), col("surface"), col("pos"),
-        col("best.entity").as("entity"), col("best.etype").as("etype"),
+        // alias-flavored sites (PageGen.aliasSiteSuffix) reference entities
+        // under /alt/ — emit what the source says; canonicalization merges
+        when(col("g").endsWith(PageGen.aliasSiteSuffix),
+          regexp_replace(col("best.entity"), "/entity/", "/alt/"))
+          .otherwise(col("best.entity")).as("entity"),
+        col("best.etype").as("etype"),
         col("best.score").as("score"))
   }
 

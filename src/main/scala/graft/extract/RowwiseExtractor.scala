@@ -91,11 +91,17 @@ object RowwiseExtractor {
 
     import MentionDetector._
     val withLinks = withCols.withColumn("links", links)
+    // alias-flavored sites reference entities under their /alt/ namespace
+    // (PageGen.aliasSiteSuffix) — extraction is faithful to the source;
+    // canonicalization merges the namespaces downstream
+    def siteEntity(e: Column): Column =
+      when(col("g").endsWith(PageGen.aliasSiteSuffix),
+        regexp_replace(e, "/entity/", "/alt/")).otherwise(e)
     val quadArr = array_distinct(concat(
       transform(col("links"), l =>
-        q(col("url"), mentionsPred, l.getField("entity"), iriK, none, none)),
+        q(col("url"), mentionsPred, siteEntity(l.getField("entity")), iriK, none, none)),
       transform(col("links"), l =>
-        q(l.getField("entity"), typePred,
+        q(siteEntity(l.getField("entity")), typePred,
           concat(lit("http://kg.example.org/class/"), l.getField("etype")),
           iriK, none, none)),
       transform(col("links"), l =>

@@ -163,16 +163,25 @@ object ZipPublisher {
     */
   def publish(spark: SparkSession, patchDir: String, sinkDir: String,
               filesPerZip: Int = 1000,
-              publishUrl: String = "http://example.com/"): Seq[ZipInfo] = {
+              publishUrl: String = "http://example.com/",
+              graphIndex: Option[DataFrame] = None): Seq[ZipInfo] = {
     import spark.implicits._
     val f = fs(spark, sinkDir)
     f.mkdirs(new Path(sinkDir))
     val stateDir = s"$sinkDir/_published"
     val hasState = f.exists(new Path(stateDir))
 
-    // inventory minus already-definitively-published resources
-    val inv0 = ManifestBuilder.build(spark, patchDir, filesPerZip)
+    // inventory minus already-definitively-published resources; when the
+    // pipeline's graph-folder index is supplied, the fan-out is driven by it
+    // (syncdirector.py:107-115 walks subdirs only when FILE_INDEX exists)
+    val invAll = ManifestBuilder.build(spark, patchDir, filesPerZip)
       .drop("batch", "is_complete")
+    val inv0 = graphIndex match {
+      case None => invAll
+      case Some(gi) => invAll.join(
+        broadcast(gi.select(col("g_b64").as("graph_b64")).distinct()),
+        Seq("graph_b64"), "left_semi")
+    }
     val inv =
       if (!hasState) inv0
       else inv0.join(spark.read.parquet(stateDir).select("resource"),

@@ -61,6 +61,13 @@ object PageGen {
   def aliasIri(iri: String): String =
     iri.replace("/entity/", "/alt/")
 
+  /** Coreference in the wild: sites whose host ends in this suffix refer to
+    * entities by their /alt/ alias IRI instead of the /entity/ IRI (hosts
+    * host3, host13, …, host93 — ~10% of pages). Extraction emits whatever
+    * the site says; canonicalization must merge the two namespaces. */
+  val aliasSiteSuffix: String = "3.example.org"
+  def isAliasSite(graphIri: String): Boolean = graphIri.endsWith(aliasSiteSuffix)
+
   val fillers: Seq[String] = Seq(
     "internet", "browser", "page", "city", "canal", "netherlands", "painter",
     "art", "museum", "planet", "orbit", "solar", "metal", "chemical", "toxic",

@@ -79,20 +79,45 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
   /** Full (bootstrap) commit: writes every bucket. `df` must already carry
     * an int `bucket` column. */
   def commitFull(df: DataFrame, id: Long): Unit = {
+    stageFull(df, id)
+    finalizeCommit(id)
+  }
+
+  /** Stage a full snapshot: data + manifest land on disk but `_latest` is
+    * NOT flipped — readers still see the previous snapshot. A coordinator
+    * that writes several stores atomically stages each, writes its own
+    * commit marker, then [[finalizeCommit]]s all of them; a crash in
+    * between is repaired by replaying the finalize (metadata-only). */
+  def stageFull(df: DataFrame, id: Long): Unit = {
     val dataDir = new Path(root, f"snap_$id%014d").toString
     df.repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
     val entries = (0 until numBuckets)
       .map(b => s"$b\t$dataDir/bucket=$b").mkString("\n")
     writeAtomic(manifestPath(id), entries)
+  }
+
+  /** Flip `_latest` to a previously staged snapshot (idempotent). */
+  def finalizeCommit(id: Long): Unit = {
+    require(fs.exists(manifestPath(id)), s"finalize of unstaged snapshot $id")
     writeAtomic(new Path(root, "_latest"), id.toString)
   }
+
+  /** True iff snapshot `id` is staged (manifest exists) but not yet latest. */
+  def isStagedNotFinal(id: Long): Boolean =
+    fs.exists(manifestPath(id)) && !latest.exists(_ >= id)
 
   /** Copy-on-write merge: replace ONLY `affected` buckets with the rows of
     * `newBucketData` (which must contain exactly those buckets, with the
     * `bucket` column set); all other buckets are carried forward by
     * reference in the new manifest. */
   def mergeBuckets(newBucketData: DataFrame, affected: Seq[Int], id: Long): Unit = {
+    stageMerge(newBucketData, affected, id)
+    finalizeCommit(id)
+  }
+
+  /** [[mergeBuckets]] without the `_latest` flip (see [[stageFull]]). */
+  def stageMerge(newBucketData: DataFrame, affected: Seq[Int], id: Long): Unit = {
     val prevId = latest.getOrElse(sys.error("mergeBuckets on empty store"))
     val prev = readManifest(prevId)
     val dataDir = new Path(root, f"snap_$id%014d").toString
@@ -120,7 +145,6 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       s"$b\t$path"
     }.mkString("\n")
     writeAtomic(manifestPath(id), entries)
-    writeAtomic(new Path(root, "_latest"), id.toString)
   }
 
   // --- reads ---------------------------------------------------------------

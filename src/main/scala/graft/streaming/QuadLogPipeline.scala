@@ -1,9 +1,9 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Page
-import graft.extract.EntityLinker
 import graft.canon.IriCanonicalizer
 import graft.plans.{PatchWriter, QuadDiff}
 import graft.state.SnapshotStore
@@ -12,8 +12,8 @@ import graft.state.SnapshotStore
   * reference's three chained components (quad-logger -> graph-splitter ->
   * resourcesync-generator) as one incremental batch job over page snapshots.
   *
-  * State layout (both stores are [[SnapshotStore]]s: bucketed, copy-on-write,
-  * atomically committed):
+  * State layout (all three stores are [[SnapshotStore]]s: bucketed,
+  * copy-on-write, atomically committed):
   *
   *  - `contrib`  — per-PAGE quad contributions, bucketed by xxhash64(url).
   *                 The unit of incremental work: a batch only ever touches
@@ -24,6 +24,15 @@ import graft.state.SnapshotStore
   *                 This is what makes shared facts (e.g. `entity rdf:type T`
   *                 supported by millions of pages) diff correctly without
   *                 recomputing the world.
+  *  - `canon`    — the ACCUMULATED entity-canonicalization map (id ->
+  *                 canonical), extended monotonically per batch. Without
+  *                 persistence a component's representative could differ
+  *                 across batches (each batch only sees its own IRIs) and
+  *                 the facts store would hold one real-world fact under
+  *                 several representatives. When a new alias BRIDGES two
+  *                 existing clusters the losing representative's stored
+  *                 facts are rewritten and the change surfaces as ordinary
+  *                 -/+ patches (remap flow in [[incremental]]).
   *
   * Per batch, work is proportional to |changed pages|, not |table|:
   *   changed pages -> extract+link -> new contributions
@@ -34,6 +43,13 @@ import graft.state.SnapshotStore
   * Checkpoint/resume (reference T2, vql_lastlogsuffix.txt): the lineage
   * table records per-bucket url ranges, the batch watermark and counts; a
   * re-run of an already-committed batch is a no-op (idempotent, T8).
+  *
+  * Crash atomicity across the two data stores (the facts/contrib pair must
+  * move together): merges are STAGED (data + manifest, no pointer flip),
+  * then a single `_commit` marker is written, then both pointers flip.
+  * [[recoverPartialCommit]] replays the flips from the marker, so a crash
+  * between the two finalizes can no longer leave contrib one batch behind
+  * facts with re-runs silently no-oping against stale contributions.
   */
 final class QuadLogPipeline(
     spark: SparkSession,
@@ -46,12 +62,39 @@ final class QuadLogPipeline(
 
   val contrib = new SnapshotStore(spark, s"$root/contrib", numBuckets)
   val facts = new SnapshotStore(spark, s"$root/facts", numBuckets)
+  val canon = new SnapshotStore(spark, s"$root/canon", math.min(numBuckets, 8))
+  /** A8 — first-seen graph dimension (split-graphs.sh:99-102's
+    * vql_graph_folder.csv): (g, g_b64, firstBatch), insert-if-absent per
+    * batch; the publish stage's per-graph fan-out reads it. */
+  val graphIdx = new SnapshotStore(spark, s"$root/graphidx", 1)
   private val lineageDir = s"$root/lineage"
   private val quadCols = QuadDiff.quadCols
 
+  /** The accumulated graph-folder index (empty DataFrame before bootstrap). */
+  def graphIndex: DataFrame =
+    graphIdx.read().map(_.select("g", "g_b64", "firstBatch"))
+      .getOrElse(spark.emptyDataFrame)
+
+  private def updateGraphIndex(withG: DataFrame, batchId: Long): Unit = {
+    val gs = withG.select(col("g")).distinct()
+      .withColumn("g_b64", base64(col("g").cast("binary")))
+      .withColumn("firstBatch", lit(batchId))
+      .withColumn("bucket", lit(0))
+    val merged = graphIdx.read() match {
+      case None => gs
+      case Some(e) =>
+        val kept = e.select("g", "g_b64", "firstBatch", "bucket")
+        kept.unionByName(gs.join(kept.select("g"), Seq("g"), "left_anti"))
+    }
+    graphIdx.commitFull(merged, batchId)
+  }
+
   // --- extraction front-end ------------------------------------------------
 
-  /** pages -> canonicalized quad SET (set semantics, no attribution). */
+  /** pages -> canonicalized quad SET (set semantics, no attribution).
+    * Canonicalization reads the PERSISTED map state extended with these
+    * pages' IRIs (it does not persist) — so re-deriving the corpus through
+    * this function reconciles exactly with incrementally accumulated state. */
   def extractedQuads(pages: Dataset[Page]): DataFrame =
     pageContributions(pages).drop("url", "bucket")
       .dropDuplicates(quadCols)
@@ -61,48 +104,83 @@ final class QuadLogPipeline(
   private def scratchCache(df: DataFrame): DataFrame = { scratch += df.cache(); df }
   private def dropScratch(): Unit = { scratch.foreach(_.unpersist()); scratch.clear() }
 
+  /** Candidate entity IRIs of a quad batch: one scan, s and IRI-objects
+    * exploded together (a union of two projections would extract twice). */
+  private def candidateIris(quads: DataFrame): DataFrame =
+    quads.select(explode(array(col("s"),
+        when(col("oKind") === graft.model.TermKind.Iri, col("oLex")))).as("id"))
+      .filter(col("id").isNotNull && col("id").startsWith("http://kg.example.org/"))
+      .distinct()
+
+  /** Extend the persisted canonical map with this batch's IRIs.
+    * Returns (map, remapped) where remapped = (oldRep -> newRep) pairs for
+    * representatives superseded by this extension (rare: cluster merges). */
+  private def extendedCanonMap(rawQuads: DataFrame): (DataFrame, DataFrame) = {
+    val iris = candidateIris(rawQuads)
+    val old = canon.read().map(_.select("id", "canonical"))
+    val m = timed("canonicalMap") {
+      (old match {
+        case None    => IriCanonicalizer.canonicalMap(spark, iris)
+        case Some(o) => IriCanonicalizer.extendMap(spark, o, iris)
+      }).localCheckpoint()
+    }
+    val remapped = old.map { o =>
+      o.join(m.withColumnRenamed("canonical", "rep2"), Seq("id"))
+        .filter(col("canonical") =!= col("rep2"))
+        .select(col("canonical").as("id"), col("rep2").as("canonical"))
+        .distinct()
+    }.getOrElse(m.limit(0))
+    (m, remapped)
+  }
+
   /** Exact per-page contributions: quads tagged with the url that supports
     * them (a quad may appear under many urls; support = distinct urls).
     * Uses the fused shuffle-free extractor (see RowwiseExtractor scaladoc);
     * the modular MentionDetector/EntityLinker path computes identical quads
-    * (verified by ExtractorEquivalenceSpec). */
+    * (verified by ExtractorEquivalenceSpec). Pure — does not advance state. */
   def pageContributions(pages: Dataset[Page]): DataFrame = {
     // NOT cached: extraction is a narrow, CPU-bound, re-runnable pass; RAM-
     // caching 10^6+ deserialized rows costs more (alloc + GC bandwidth) than
     // recomputing, and at real scale caching the corpus is impossible anyway.
-    // Consumers that need repeated access read the committed parquet back.
     val quads = graft.extract.RowwiseExtractor.pageQuads(pages.toDF())
     val out =
       if (!canonicalize) quads
       else {
-        // one scan: explode (s, o) into candidate ids, filter, distinct —
-        // a union of two projections would evaluate extraction twice
-        val iris = quads.select(explode(array(col("s"),
-            when(col("oKind") === graft.model.TermKind.Iri, col("oLex")))).as("id"))
-          .filter(col("id").isNotNull && col("id").startsWith("http://kg.example.org/"))
-          .distinct()
-        val cmap = timed("canonicalMap") { IriCanonicalizer.canonicalMap(spark, iris) }
-        // identity map (no coreferent aliases found) -> the rewrite would be
-        // a no-op; skip its joins AND the per-page re-dedup entirely
-        val nontrivial = !cmap.filter(col("id") =!= col("canonical")).isEmpty
-        if (nontrivial) IriCanonicalizer.canonicalizeAttributed(quads, cmap) else quads
+        val (cmap, _) = extendedCanonMap(quads)
+        rewriteIfNonTrivial(quads, cmap)
       }
     out.withColumn("bucket", contrib.bucketCol(col("url")))
   }
 
+  /** identity map -> skip the rewrite joins AND the per-page re-dedup. */
+  private def rewriteIfNonTrivial(quads: DataFrame, cmap: DataFrame): DataFrame =
+    if (!cmap.filter(col("id") =!= col("canonical")).isEmpty)
+      IriCanonicalizer.canonicalizeAttributed(quads, cmap)
+    else quads
+
   // --- batches ---------------------------------------------------------------
 
   /** Bootstrap dump (reference lifecycle 3.1): full extraction, all '+',
-    * checkpoint serial 00000000000000-style ts. */
-  /** One-pass materialization discipline: extraction is evaluated exactly
+    * checkpoint serial 00000000000000-style ts.
+    *
+    * One-pass materialization discipline: extraction is evaluated exactly
     * once into the contrib store; every downstream consumer reads committed
     * parquet back (columnar, splittable) instead of a RAM cache — at bench
     * scale the deserialized-row cache was the memory-bandwidth bottleneck,
     * and at target scale caching the corpus is impossible regardless. */
   def bootstrap(pages: Dataset[Page], epoch: String, checkpoint: String): BatchResult = {
-    contrib.reset(); facts.reset()
+    contrib.reset(); facts.reset(); canon.reset(); graphIdx.reset()
+    if (hfs.exists(markerPath)) hfs.delete(markerPath, false)
+    val raw = graft.extract.RowwiseExtractor.pageQuads(pages.toDF())
+    val contribData =
+      if (!canonicalize) raw
+      else {
+        val (cmap, _) = extendedCanonMap(raw)
+        canon.commitFull(cmap.withColumn("bucket", canon.bucketCol(col("id"))), 0L)
+        rewriteIfNonTrivial(raw, cmap)
+      }
     timed("bootstrap.commitContrib") {
-      contrib.commitFull(pageContributions(pages), 0L)
+      contrib.commitFull(contribData.withColumn("bucket", contrib.bucketCol(col("url"))), 0L)
       contrib.setEpoch(epoch)
     }
     val cBack = contrib.read().get
@@ -118,6 +196,7 @@ final class QuadLogPipeline(
     val files = timed("bootstrap.patchFiles") {
       PatchWriter.write(spark, patches, s"$root/patches/batch_0", checkpoint, maxq)
     }
+    updateGraphIndex(sBack, 0L)
     val added = sBack.count() // parquet metadata count — no recompute
     writeLineage(epoch, 0L, pages, added, 0L, files)
     dropScratch()
@@ -126,17 +205,52 @@ final class QuadLogPipeline(
 
   /** Incremental batch (lifecycle 3.2). `changed` = pages whose current
     * revision is new since the watermark (adds + updates); `deletedUrls` =
-    * pages removed from the source. Work scales with |changed|+|deleted|. */
+    * pages removed from the source. Work scales with |changed|+|deleted|
+    * (+ the rare remap rewrite set when canonical clusters merge). */
   def incremental(batchId: Long, checkpoint: String,
                   changed: Dataset[Page], deletedUrls: Dataset[String]): BatchResult = {
     val epoch = contrib.epoch.getOrElse(sys.error("bootstrap first"))
+    recoverPartialCommit()
     if (alreadyCommitted(batchId)) return BatchResult(batchId, 0, 0, 0) // idempotent re-run
 
     // uncached: evaluated twice (delta agg + store merge); extraction of the
     // changed slice is cheap and re-runnable (see bootstrap note)
-    val newContrib = pageContributions(changed)
-    val touchedUrls = changed.toDF().select(col("url"))
-      .union(deletedUrls.toDF("url")).distinct()
+    val rawNew = graft.extract.RowwiseExtractor.pageQuads(changed.toDF())
+    val (newContrib0, remapPairs) =
+      if (!canonicalize)
+        (rawNew, rawNew.limit(0).select(col("s").as("id"), col("s").as("canonical")))
+      else {
+        val (cmap, remapped) = extendedCanonMap(rawNew)
+        // idempotent on crash-rerun: same inputs -> same map recomputed
+        canon.commitFull(cmap.withColumn("bucket", canon.bucketCol(col("id"))), batchId)
+        (rewriteIfNonTrivial(rawNew, cmap), remapped)
+      }
+    val newContrib = newContrib0.withColumn("bucket", contrib.bucketCol(col("url")))
+
+    // remap flow: stored rows recorded under superseded representatives are
+    // rewritten and their urls treated as touched — their -old/+new falls
+    // out of the ordinary signed-delta machinery below. The rep list is
+    // tiny (cluster merges are rare); the scan is column-pruned to
+    // (url, s, oKind, oLex).
+    val remapList = remapPairs.collect()
+    val changedUrls = changed.toDF().select(col("url"))
+    val remapUrls: DataFrame =
+      if (remapList.isEmpty) changedUrls.limit(0)
+      else {
+        val reps = remapList.map(_.getString(0)).toSeq
+        timed("incr.remapScan") {
+          contrib.read().get
+            .filter(col("s").isin(reps: _*) ||
+              (col("oKind") === graft.model.TermKind.Iri && col("oLex").isin(reps: _*)))
+            .select(col("url")).distinct()
+            .join(changedUrls, Seq("url"), "left_anti") // changed pages re-extract anyway
+            .join(deletedUrls.toDF("url"), Seq("url"), "left_anti")
+            .localCheckpoint()
+        }
+      }
+
+    val touchedUrls = changedUrls
+      .union(deletedUrls.toDF("url")).union(remapUrls).distinct()
       .withColumn("bucket", contrib.bucketCol(col("url"))).cache()
     val affectedBuckets = timed("incr.affectedBuckets") {
       touchedUrls.select("bucket").distinct().as[Int].collect().toSeq.sorted
@@ -148,10 +262,20 @@ final class QuadLogPipeline(
       if (oldInBuckets.columns.isEmpty) newContrib.limit(0)
       else oldInBuckets.join(touchedUrls.select("url"), Seq("url"), "left_semi")
 
+    // rewritten state of remap-affected urls = their stored rows passed
+    // through the (oldRep -> newRep) map
+    val rewrittenOld =
+      if (remapList.isEmpty) newContrib.limit(0)
+      else IriCanonicalizer.canonicalizeAttributed(
+          oldInBuckets.join(remapUrls, Seq("url"), "left_semi").drop("bucket"),
+          remapPairs)
+        .withColumn("bucket", contrib.bucketCol(col("url")))
+    val newSide = newContrib.unionByName(rewrittenOld)
+
     // signed support delta per quad from the touched pages only
     val urlQuad = (col("url") +: quadCols.map(col))
     val d = oldContrib.select(urlQuad: _*).withColumn("w", lit(-1L))
-      .unionByName(newContrib.select(urlQuad: _*).withColumn("w", lit(1L)))
+      .unionByName(newSide.select(urlQuad: _*).withColumn("w", lit(1L)))
       .groupBy((col("url") +: quadCols.map(col)): _*)
       .agg(sum("w").as("w")) // per-(url,quad): -1 lost, 0 kept, +1 gained
       .filter(col("w") =!= 0L)
@@ -173,10 +297,13 @@ final class QuadLogPipeline(
     val files = timed("incr.patchFiles") {
       PatchWriter.write(spark, patchesC, s"$root/patches/batch_$batchId", checkpoint, maxq)
     }
+    // new graphs can only arrive with '+' patches — patchesC is checkpointed
+    // and tiny, so the index merge costs no extra extraction pass
+    updateGraphIndex(patchesC, batchId)
 
-    // commit stores (copy-on-write on touched buckets only)
+    // --- atomic two-store commit: stage, lineage, marker, finalize ---
     timed("incr.mergeFacts") {
-      facts.mergeBuckets(newFactRows.withColumn("bucket", facts.bucketCol(quadKey: _*)),
+      facts.stageMerge(newFactRows.withColumn("bucket", facts.bucketCol(quadKey: _*)),
         factBuckets, batchId)
     }
     val keptOld = oldInBuckets match {
@@ -184,18 +311,25 @@ final class QuadLogPipeline(
       case df => df.join(touchedUrls.select("url"), Seq("url"), "left_anti")
     }
     timed("incr.mergeContrib") {
-      contrib.mergeBuckets(
+      contrib.stageMerge(
         keptOld.select(newContrib.columns.map(col): _*)
-          .unionByName(newContrib.join(deletedUrls.toDF("url"), Seq("url"), "left_anti")),
+          .unionByName(newSide.join(deletedUrls.toDF("url"), Seq("url"), "left_anti")),
         affectedBuckets, batchId)
     }
 
-    // one job for both tallies (cached patches)
+    // one job for both tallies (checkpointed patches)
     val tallies = patchesC.groupBy("op").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val added = tallies.getOrElse("+", 0L)
     val deleted = tallies.getOrElse("-", 0L)
+    // lineage BEFORE the marker: a crash before the marker recomputes the
+    // batch (duplicate lineage rows are harmless — readers aggregate);
+    // after the marker, recovery replays the pointer flips below
     writeLineage(epoch, batchId, changed, added, deleted, files)
+    writeCommitMarker(batchId)
+    facts.finalizeCommit(batchId)
+    contrib.finalizeCommit(batchId)
+
     touchedUrls.unpersist(); dropScratch()
     BatchResult(batchId, added, deleted, files)
   }
@@ -212,6 +346,37 @@ final class QuadLogPipeline(
   /** Quad-identity bucket key: the columns themselves — bucketCol hashes
     * them variadically (xxhash64(s,p,...)), never a concatenated string. */
   private def quadKey = quadCols.map(col)
+
+  // --- commit marker / recovery ---------------------------------------------
+
+  private def markerPath = new Path(root, "_commit")
+  private def hfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeCommitMarker(batchId: Long): Unit = {
+    val tmp = new Path(root, s"_commit.tmp${System.nanoTime()}")
+    val out = hfs.create(tmp, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    if (hfs.exists(markerPath)) hfs.delete(markerPath, false)
+    if (!hfs.rename(tmp, markerPath)) sys.error(s"marker rename failed for batch $batchId")
+  }
+
+  private def commitMarker: Option[Long] = {
+    if (!hfs.exists(markerPath)) None
+    else {
+      val in = hfs.open(markerPath)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Replay pointer flips for a batch whose marker was written but whose
+    * stores were not all finalized (crash between the two flips). */
+  def recoverPartialCommit(): Unit = commitMarker.foreach { m =>
+    Seq(facts, contrib).foreach { s => if (s.isStagedNotFinal(m)) s.finalizeCommit(m) }
+  }
+
+  private def alreadyCommitted(batchId: Long): Boolean =
+    facts.latest.exists(_ >= batchId) && contrib.latest.exists(_ >= batchId)
 
   // --- lineage / checkpoint --------------------------------------------------
 
@@ -241,9 +406,6 @@ final class QuadLogPipeline(
     val r = lineage.agg(max("watermark")).head()
     if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
   }
-
-  private def alreadyCommitted(batchId: Long): Boolean =
-    facts.latest.exists(_ >= batchId)
 
   /** Current graph state as quads (for verification / reconciliation A7). */
   def currentQuads: DataFrame =

@@ -33,8 +33,12 @@ class PRSpec extends GraftSpec {
         scored.sortBy { case (score, e) => (-score, e.iri) }.head._2
       }
     }
-    val mentionQ = links.map(e => (p.url, MentionDetector.mentionsPred, e.iri, g)).toSet
-    val typeQ = links.map(e => (e.iri, MentionDetector.typePred,
+    // alias-flavored sites reference entities by their /alt/ IRI
+    // (PageGen.aliasSiteSuffix) — the oracle mirrors the source semantics
+    def siteIri(iri: String): String =
+      if (PageGen.isAliasSite(g)) PageGen.aliasIri(iri) else iri
+    val mentionQ = links.map(e => (p.url, MentionDetector.mentionsPred, siteIri(e.iri), g)).toSet
+    val typeQ = links.map(e => (siteIri(e.iri), MentionDetector.typePred,
       "http://kg.example.org/class/" + e.etype, g)).toSet
     val langQ = Set((p.url, MentionDetector.langPred, p.lang, g))
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss'Z'")

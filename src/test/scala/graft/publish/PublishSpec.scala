@@ -41,6 +41,28 @@ class PublishSpec extends GraftSpec {
     assert(ManifestBuilder.changedEndPart(m1, none).count() == endSize)
   }
 
+  test("per-graph fan-out is driven by the pipeline's graph-folder index (A8)") {
+    val root = tmpDir("publish3")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 4,
+      canonicalize = false, maxq = 40)
+    pipe.bootstrap(PageGen.snapshot(spark, 30, 0), "e1", "00000000000000")
+    val idx = pipe.graphIndex
+    assert(idx.count() > 1)
+    assert(idx.filter(col("firstBatch") =!= 0L).count() == 0)
+    // index graphs == patch-dir graphs (reconciliation of the two artifacts)
+    val dirGraphs = new java.io.File(s"$root/patches/batch_0").listFiles()
+      .filter(_.isDirectory).map(_.getName.stripPrefix("g_b64=")).toSet
+    assert(idx.select("g_b64").collect().map(_.getString(0)).toSet == dirGraphs)
+
+    // publishing restricted to ONE indexed graph publishes only that graph
+    val one = idx.limit(1)
+    val sink = tmpDir("publish3_sink")
+    val out = ZipPublisher.publish(spark, s"$root/patches", sink,
+      filesPerZip = 1000, graphIndex = Some(one))
+    val g = one.select("g_b64").head().getString(0)
+    assert(out.nonEmpty && out.forall(_.graph_b64 == g))
+  }
+
   // --- ZipPublisher scenarios (reference test_zipsynchronizer.py:25-94) ---
 
   private val g64 = java.util.Base64.getEncoder

@@ -94,6 +94,96 @@ class PipelineSpec extends GraftSpec {
     assert(lin.filter(col("batchId") === 0).agg(max("added")).head().getLong(0) == r0.added)
   }
 
+  test("incremental reconciliation with canonicalize=true over alias-bearing input") {
+    // PageGen corpus now genuinely carries coreferent aliases: hosts ending
+    // "3.example.org" reference entities under /alt/. Incremental state must
+    // keep reconciling with re-derivation through the SAME persisted map.
+    val root = tmpDir("graft_canon_e2e")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 8, canonicalize = true)
+    val s0 = PageGen.snapshot(spark, N, 0)
+    pipe.bootstrap(s0, "e1", "00000000000000")
+    assert(pipe.canon.latest.contains(0L), "canonical map must be persisted state")
+    assert(QuadDiff.diff(pipe.currentQuads, pipe.extractedQuads(s0)).count() == 0)
+
+    for (snap <- 1 to 2) {
+      val prev = PageGen.snapshot(spark, N, snap - 1).collect().map(p => p.url -> p).toMap
+      val cur = PageGen.snapshot(spark, N, snap)
+      val curMap = cur.collect().map(p => p.url -> p).toMap
+      val changed = cur.filter(p => !prev.contains(p.url) || prev(p.url).text != p.text)
+      val deleted = spark.createDataset(prev.keys.filterNot(curMap.contains).toSeq)
+      pipe.incremental(snap.toLong, f"2024010${snap + 1}%s000000", changed, deleted)
+      val drift = QuadDiff.diff(pipe.currentQuads, pipe.extractedQuads(cur))
+      assert(drift.count() == 0, s"canonicalized state drift at snapshot $snap")
+    }
+  }
+
+  test("canonical cluster merge across batches remaps stored facts via -/+ patches") {
+    import graft.model.Page
+    val root = tmpDir("graft_remap")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = true)
+    def page(host: String, id: String, text: String): Page = {
+      val url = s"https://$host.example.org/page/$id"
+      Page(url, new java.sql.Timestamp(1704067200000L),
+        PageGen.htmlFor(url, text, "en"), text, "en")
+    }
+    // batch 0: only the /entity/ namespace exists (normal host)
+    val p0 = page("host1", "a", "rembrandt painter art museum")
+    pipe.bootstrap(spark.createDataset(Seq(p0)), "e1", "00000000000000")
+    val entityIri = "http://kg.example.org/entity/Rembrandt"
+    val altIri = "http://kg.example.org/alt/Rembrandt"
+    assert(pipe.currentQuads.filter(col("oLex") === entityIri).count() > 0)
+
+    // batch 1: an alias site mentions the same entity -> /alt/ IRI appears,
+    // LSH merges the two namespaces, and the component min (the /alt/ IRI)
+    // supersedes the stored representative -> stored facts remapped
+    val p1 = page("host3", "b", "rembrandt painter art museum")
+    val r1 = pipe.incremental(1L, "20240102000000",
+      spark.createDataset(Seq(p1)), spark.emptyDataset[String])
+    assert(r1.added > 0 && r1.deleted > 0, "remap must surface as -/+ patches")
+
+    val cur = pipe.currentQuads
+    assert(cur.filter(col("s") === entityIri || col("oLex") === entityIri).count() == 0,
+      "superseded representative must be gone from state")
+    assert(cur.filter(col("oLex") === altIri).count() > 0)
+    // the patch files of batch 1 record the retraction of the old rep
+    val lines = spark.read.textFile(s"$root/patches/batch_1/*")
+    assert(lines.filter(l => l.startsWith("-") && l.contains(entityIri)).count() > 0)
+    // and the state reconciles with re-derivation through the persisted map
+    val all = spark.createDataset(Seq(p0, p1))
+    assert(QuadDiff.diff(cur, pipe.extractedQuads(all)).count() == 0)
+  }
+
+  test("crash between store finalizes is repaired from the commit marker") {
+    val root = tmpDir("graft_crash")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = false)
+    val s0 = PageGen.snapshot(spark, 40, 0)
+    val s1 = PageGen.snapshot(spark, 40, 1)
+    val prev = s0.collect().map(p => p.url -> p).toMap
+    val curMap = s1.collect().map(p => p.url -> p).toMap
+    val changed = s1.filter(p => !prev.contains(p.url) || prev(p.url).text != p.text)
+    val deleted = spark.createDataset(prev.keys.filterNot(curMap.contains).toSeq)
+    pipe.bootstrap(s0, "e1", "00000000000000")
+    pipe.incremental(1L, "20240102000000", changed, deleted)
+    val want = pipe.currentQuads.collect().toSet
+
+    // simulate the crash window: marker written, facts finalized, contrib
+    // pointer still at the previous snapshot (the ADVICE scenario)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/contrib/_latest"), "0")
+    // raw write bypasses Hadoop's checksum sidecar — drop the stale .crc
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/contrib/._latest.crc"))
+    val resumed = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = false)
+    // recovery runs at batch entry; the re-run is then a committed no-op
+    val again = resumed.incremental(1L, "20240102000000", changed, deleted)
+    assert(again.added == 0 && again.deleted == 0)
+    assert(resumed.contrib.latest.contains(1L), "contrib pointer must be replayed")
+    assert(resumed.currentQuads.collect().toSet == want)
+    // and contrib state matches a fresh derivation (not one batch stale)
+    assert(QuadDiff.diff(resumed.currentQuads,
+      resumed.extractedQuads(s1)).count() == 0)
+  }
+
   test("epoch reset (T6): new epoch wipes and re-derives downstream state") {
     val root = tmpDir("graft_epoch")
     val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = false)
