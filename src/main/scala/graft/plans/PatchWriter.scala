@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,7 +12,7 @@ import graft.rdf.NQuadFormatter
   *  - group output by graph, base64 directory name per graph
   *    (split-graphs.sh:88-97)            -> one directory per g_b64
   *  - `maxq` quads per file (generate-rdfpatch.sh:16) -> deterministic
-  *    chunk ids assigned by a DISTRIBUTED two-pass row numbering (below)
+  *    chunking (below), every file <= maxq quads
   *  - every chunk file carries the reference's 4-line header with that
   *    chunk's own quad count and the exact label padding of
   *    vql_print_graph (buffer_nquads.sql:55-58): values start at col 18
@@ -20,24 +20,26 @@ import graft.rdf.NQuadFormatter
   *    -> files are written under their final names by the write tasks
   *    themselves; no driver-side rename loop, no per-file driver I/O
   *
-  * Scale shape. A naive `row_number over (partition by graph)` forces an
-  * entire graph through one task (a single-graph 100 TB store = one task),
-  * and the old post-commit rename was O(files) on the driver. Instead:
+  * Scale shape — exactly ONE full-data exchange. A naive
+  * `row_number over (partition by graph)` forces an entire graph through
+  * one task (a single-graph 100 TB store = one task). Instead each graph
+  * splits into `P` uniform hash sub-streams; a chunk never crosses a
+  * sub-stream, so chunk membership needs only LOCAL ranks:
   *
-  *   1. split each graph into `P` uniform sub-streams by a hash of the
-  *      line (`sub`), count rows per (graph, sub) — a tiny aggregate;
-  *   2. prefix-sum those counts per graph (window over the COUNTS table,
-  *      P rows per graph — parallel across graphs) -> each sub-stream's
-  *      global offset within its graph;
-  *   3. rank rows within (graph, sub) — bounded ~N/P rows per window
-  *      partition — and derive serial = offset + local rank, so
-  *      chunk = serial / maxq is a deterministic, globally consistent
-  *      per-graph file id with NO single-task bottleneck;
-  *   4. repartition by (graph, chunk) and stream each chunk straight into
-  *      its final `rdf_out_<cp>-<chunk>` file (executor-local writes).
+  *   1. count rows per (graph, sub) — a tiny aggregate over hashed key
+  *      columns (map-side combined; no row text materialized);
+  *   2. prefix-sum ceil(cnt/maxq) per graph over that counts table ->
+  *      each sub-stream's first file serial (window over P rows/graph);
+  *   3. repartition by (graph, sub) — THE one exchange — sort within
+  *      partitions, and stream each sub-stream straight into its final
+  *      `rdf_out_<cp>-<serial>` files, cutting a new file every maxq rows
+  *      (executor-local writes; the patch line is formatted here, in the
+  *      write task, never carried through the exchange).
   *
-  * Rows are ordered inside a chunk by the same hash used for ranking, so
-  * output is byte-deterministic end to end.
+  * Rows are ordered inside a chunk by a hash of the quad, so output is
+  * deterministic end to end. Sub-streams may each end with one partial
+  * file (at most P files per graph are smaller than maxq) — the reference
+  * bounds only the MAXIMUM per file (buffer_nquads.sql:24-27).
   */
 object PatchWriter {
 
@@ -55,31 +57,26 @@ object PatchWriter {
             checkpoint: String, maxq: Int = 100000): Long = {
     val P = math.max(spark.sparkContext.defaultParallelism * 2, 16)
 
-    val withLine = patches
+    val quadColumns = patches.columns.filter(_ != "bucket").map(col).toSeq
+    val keyed = patches.select(quadColumns: _*)
       .withColumn("g_b64", base64(col("g").cast("binary")))
-      .withColumn("line", NQuadFormatter.patchLineCol(patches))
-      .select(col("g"), col("g_b64"), col("line"))
-      .withColumn("h", xxhash64(col("line")))
+      .withColumn("h", xxhash64(quadColumns: _*))
       .withColumn("sub", pmod(col("h"), lit(P)).cast("int"))
 
-    // pass 1: per-(graph, sub) counts -> per-sub offsets (prefix sum over a
-    // tiny table: P rows per graph, windowed per graph => parallel)
-    val counts = withLine.groupBy("g_b64", "sub").agg(count(lit(1)).as("cnt"))
+    // pass 1: per-(graph, sub) counts -> first-serial offsets (prefix sum of
+    // per-sub file counts over a tiny table: P rows per graph, windowed per
+    // graph => parallel across graphs). No line text is materialized here —
+    // the aggregate only touches the hash/key columns.
+    val counts = keyed.groupBy("g_b64", "sub").agg(count(lit(1)).as("cnt"))
+      .withColumn("nFiles", ceil(col("cnt") / lit(maxq.toDouble)).cast("long"))
     val offW = Window.partitionBy("g_b64").orderBy("sub")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
-      .withColumn("off", coalesce(sum("cnt").over(offW), lit(0L)))
-      .select("g_b64", "sub", "off")
+      .withColumn("serial0", coalesce(sum("nFiles").over(offW), lit(0L)))
+      .select("g_b64", "sub", "serial0")
 
-    // pass 2: local rank within (graph, sub) -> global per-graph serial
-    val rankW = Window.partitionBy("g_b64", "sub").orderBy("h", "line")
-    val serialized = withLine
-      .join(offsets, Seq("g_b64", "sub"))
-      .withColumn("serial", col("off") + row_number().over(rankW) - 1)
-      .withColumn("chunk", (col("serial") / maxq).cast("long"))
-
-    // write: each (graph, chunk) group lands as ONE final-named file,
-    // header included, written by the task that owns it (no driver I/O)
+    // pass 2 — THE one full-data exchange: cluster by (graph, sub), sort,
+    // stream each sub straight into its final files
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fileCount = spark.sparkContext.longAccumulator("patchFiles")
@@ -88,35 +85,44 @@ object PatchWriter {
     val fs0 = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs0.exists(fsRoot)) fs0.delete(fsRoot, true) // idempotent rewrite (T7)
     fs0.mkdirs(fsRoot)
+    val mq = maxq
 
-    serialized
-      .repartition(P, col("g_b64"), col("chunk"))
-      .sortWithinPartitions(col("g_b64"), col("chunk"), col("serial"))
-      .select("g", "g_b64", "chunk", "line")
+    keyed
+      .join(broadcast(offsets), Seq("g_b64", "sub"))
+      .repartition(P, col("g_b64"), col("sub"))
+      .sortWithinPartitions(col("g_b64"), col("sub"), col("h"))
+      .withColumn("line", NQuadFormatter.patchLine(col("op"), col("s"), col("p"),
+        col("oLex"), col("oKind"), col("oDtype"), col("oLang"), col("g")))
+      .select("g", "g_b64", "sub", "serial0", "line")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val fs = new Path(out).getFileSystem(hconf.value)
-        var cur: (String, Long) = null
-        var w: java.io.BufferedWriter = null
-        var buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val buf = new java.util.ArrayList[String](math.min(mq, 1 << 16))
+        var curKey: (String, Int) = null
         var curG = ""
-        def flush(): Unit = if (cur != null) {
-          val (b64, chunk) = cur
-          val p = new Path(new Path(out, s"g_b64=$b64"), f"rdf_out_$checkpoint-$chunk%014d")
-          val os = fs.create(p, true)
-          w = new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(os, java.nio.charset.StandardCharsets.UTF_8))
+        var nextSerial = 0L
+        def flushFile(): Unit = if (curKey != null && !buf.isEmpty) {
+          val b64 = curKey._1
+          val p = new Path(new Path(out, s"g_b64=$b64"), f"rdf_out_$checkpoint-$nextSerial%014d")
+          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
           headerLines(checkpoint, curG, b64, buf.size).foreach { l => w.write(l); w.write('\n') }
-          buf.foreach { l => w.write(l); w.write('\n') }
+          val n = buf.size
+          var i = 0
+          while (i < n) { w.write(buf.get(i)); w.write('\n'); i += 1 }
           w.close()
           fileCount.add(1L)
-          buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          nextSerial += 1
+          buf.clear()
         }
         it.foreach { r =>
-          val key = (r.getString(1), r.getLong(2))
-          if (cur == null || key != cur) { flush(); cur = key; curG = r.getString(0) }
-          buf += r.getString(3)
+          val key = (r.getString(1), r.getInt(2))
+          if (curKey == null || key != curKey) {
+            flushFile()
+            curKey = key; curG = r.getString(0); nextSerial = r.getLong(3)
+          } else if (buf.size == mq) flushFile()
+          buf.add(r.getString(4))
         }
-        flush()
+        flushFile()
       }
     fileCount.value
   }

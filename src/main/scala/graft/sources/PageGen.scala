@@ -141,7 +141,9 @@ object PageGen {
   def snapshot(spark: SparkSession, n: Long, snap: Int): Dataset[Page] = {
     import spark.implicits._
     val adds = (1 to snap).map(k => n / 20).sum // n/20 new pages per snapshot
-    spark.range(0, n + adds, 1, spark.sparkContext.defaultParallelism)
+    // 4x over-partitioning: narrow generate+extract stages pack into
+    // multiple waves per core, so one slow partition can't idle the rest
+    spark.range(0, n + adds, 1, spark.sparkContext.defaultParallelism * 4)
       .as[Long]
       .filter(i => isLive(i, n, snap))
       .map(i => pageFor(i, snap))

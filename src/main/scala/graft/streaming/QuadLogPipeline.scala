@@ -142,7 +142,9 @@ final class QuadLogPipeline(
     // NOT cached: extraction is a narrow, CPU-bound, re-runnable pass; RAM-
     // caching 10^6+ deserialized rows costs more (alloc + GC bandwidth) than
     // recomputing, and at real scale caching the corpus is impossible anyway.
-    val quads = graft.extract.RowwiseExtractor.pageQuads(pages.toDF())
+    // (The batch entry points below instead materialize ONE extraction pass
+    // to scratch parquet — see materializedRaw.)
+    val quads = graft.extract.TypedExtractor.pageQuads(pages.toDF())
     val out =
       if (!canonicalize) quads
       else {
@@ -158,6 +160,17 @@ final class QuadLogPipeline(
       IriCanonicalizer.canonicalizeAttributed(quads, cmap)
     else quads
 
+  /** Raw extraction for one batch — deliberately LAZY (re-evaluated by each
+    * consumer: IRI distinct, delta aggregation, store merge). Measured on
+    * this box: the typed extractor is pure compute and SCALES with cores,
+    * while materializing its output to scratch parquet costs a multi-GB
+    * write + re-reads on the one resource that does NOT scale here
+    * (concurrent file IO). Recomputing is the cheaper, scale-correct side
+    * of that trade; at 100 TB a RAM/disk cache of the corpus is impossible
+    * regardless. */
+  private def rawQuads(pages: Dataset[Page]): DataFrame =
+    graft.extract.TypedExtractor.pageQuads(pages.toDF())
+
   // --- batches ---------------------------------------------------------------
 
   /** Bootstrap dump (reference lifecycle 3.1): full extraction, all '+',
@@ -171,7 +184,7 @@ final class QuadLogPipeline(
   def bootstrap(pages: Dataset[Page], epoch: String, checkpoint: String): BatchResult = {
     contrib.reset(); facts.reset(); canon.reset(); graphIdx.reset()
     if (hfs.exists(markerPath)) hfs.delete(markerPath, false)
-    val raw = graft.extract.RowwiseExtractor.pageQuads(pages.toDF())
+    val raw = rawQuads(pages)
     val contribData =
       if (!canonicalize) raw
       else {
@@ -213,9 +226,7 @@ final class QuadLogPipeline(
     recoverPartialCommit()
     if (alreadyCommitted(batchId)) return BatchResult(batchId, 0, 0, 0) // idempotent re-run
 
-    // uncached: evaluated twice (delta agg + store merge); extraction of the
-    // changed slice is cheap and re-runnable (see bootstrap note)
-    val rawNew = graft.extract.RowwiseExtractor.pageQuads(changed.toDF())
+    val rawNew = rawQuads(changed)
     val (newContrib0, remapPairs) =
       if (!canonicalize)
         (rawNew, rawNew.limit(0).select(col("s").as("id"), col("s").as("canonical")))

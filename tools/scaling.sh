@@ -1,29 +1,42 @@
 #!/bin/bash
 # North-rule scaling evidence: the IDENTICAL pipeline job at two parallelism
 # levels (N=8, 4N=32 cores) on the same input. Each level is an honest
-# emulation of an N-core cluster slice: task slots (local[N]), JVM-visible
-# processors (-XX:ActiveProcessorCount=N) and heap (1 GiB/core) all scale
-# with N — exactly what "N executors vs 4N executors" provides on a real
-# cluster. Repeats each level REPS times and reports the best (least-noise)
-# run. Usage: tools/scaling.sh [pages] [reps]
+# emulation of an N-core cluster node:
+#   - taskset pins the WHOLE process tree (JVM worker threads, GC, and the
+#     kernel-side IO work done on its threads) to exactly N physical CPUs —
+#     without it the "small" level silently borrows the idle cores for GC
+#     and tmpfs/page-cache copying (measured: local[8] consumed ~16 cores);
+#   - local[N] task slots, -XX:ActiveProcessorCount=N (JVM pools);
+#   - heap FIXED at 8 GiB (Xms=Xmx, AlwaysPreTouch) at EVERY level: a real
+#     cluster scales nodes, not per-executor heap — and measured here, a
+#     32 GiB ParallelGC heap adds 10-25 s of full-GC pauses that land on
+#     random stages and masked the true curve (16 cores: 98.6 s at 8g vs
+#     146.4 s at 16g on the identical job);
+#   - a JIT warmup pass excluded from timing (SPARK_GRAFT_WARMUP=1).
+# Repeats each level REPS times and reports the best (least-noise) run.
+# Usage: tools/scaling.sh [pages] [reps]
 set -euo pipefail
 cd "$(dirname "$0")/.."
-PAGES=${1:-600000}
+PAGES=${1:-800000}
 REPS=${2:-2}
 
 run_level () { # cores
   local C=$1 best=""
   for _ in $(seq "$REPS"); do
+    rm -rf /dev/shm/graft_*
     local out
-    out=$(SPARK_GRAFT_PROC_COUNT=$C SPARK_DRIVER_MEM=${C}g \
+    out=$(SPARK_GRAFT_PROC_COUNT=$C SPARK_DRIVER_MEM=8g SPARK_GRAFT_XMS=8g \
+      SPARK_GRAFT_WARMUP=1 \
       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=$C \
       SPARK_GRAFT_BENCH_PAGES=$PAGES SPARK_GRAFT_QUERIES=off \
-      sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '{"metric.*}')
+      taskset -c 0-$((C-1)) sbt -batch "runMain graft.Bench" 2>/dev/null \
+      | grep -o '{"metric.*}')
     local t
     t=$(echo "$out" | python3 -c 'import sys,json; print(json.load(sys.stdin)["queries"]["pipeline_e2e"])')
     echo "  cores=$C pipeline_e2e=${t}s  $out" >&2
     if [ -z "$best" ] || python3 -c "import sys; sys.exit(0 if $t < $best else 1)"; then best=$t; fi
   done
+  rm -rf /dev/shm/graft_*
   echo "$best"
 }
 
