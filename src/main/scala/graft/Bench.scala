@@ -26,8 +26,10 @@ object Bench {
 
   val headline: Seq[String] = Seq(
     "q_agg_star_join", "q_j1_diff_changelog", "q_t2_watermark_filter",
-    "q_canon_connected_components", "q_dedup_minhash_pairs",
-    "q_dedup_ngram_jaccard", "q_ann_brute_topk", "q_txt_fingerprint",
+    "q_canon_connected_components", "q_canon_cc_distributed",
+    "q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
+    "q_dedup_ngram_jaccard", "q_ann_brute_topk", "q_ann_lsh_topk",
+    "q_ann_ivf_topk", "q_txt_fingerprint",
     "q_kg_patchlines", "q_mm_media_meta")
 
   def mkSession(cpus: String): SparkSession = {

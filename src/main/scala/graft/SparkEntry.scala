@@ -48,11 +48,14 @@ object SparkEntry {
     * (index-ordered sums) — DuckDB's list_cosine_similarity computes in
     * float32 and diverges from the double fold by 1 ulp at fixed-point
     * boundaries. */
-  private def cosineSql(l: String, r: String, dim: Int): String = {
+  private def cosineSql(l: String, r: String, dim: Int): String =
+    cosineSqlCols(s"$l.embedding", s"$r.embedding", dim)
+
+  /** cosine over two arbitrary array-valued SQL expressions. */
+  private def cosineSqlCols(le: String, re: String, dim: Int): String = {
     def dotSum(a: String, b: String) = (0 until dim)
-      .map(j => s"$a.embedding[${j + 1}]::DOUBLE*$b.embedding[${j + 1}]::DOUBLE")
-      .mkString(" + ")
-    s"(${dotSum(l, r)}) / (sqrt(${dotSum(l, l)}) * sqrt(${dotSum(r, r)}))"
+      .map(j => s"$a[${j + 1}]::DOUBLE*$b[${j + 1}]::DOUBLE").mkString(" + ")
+    s"(${dotSum(le, re)}) / (sqrt(${dotSum(le, le)}) * sqrt(${dotSum(re, re)}))"
   }
 
   // the test-table entity dictionary (documents vocab is DB-flavored words)
@@ -379,6 +382,21 @@ object SparkEntry {
         .withColumn("sim_x1e4", fx4(col("sim"))).drop("sim")
     }),
 
+    // --- ANN: IVF (inverted-file) top-k — data-adaptive cells instead of
+    // hyperplane buckets; centroids = the first 8 corpus vectors (a
+    // production system would k-means them; the join shape is identical)
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => (r.getInt(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1).toSeq
+      Similarity.ivfTopK(e, col("vec_id") < 50, 3, cents)
+        .withColumn("sim_x1e4", fx4(col("sim"))).drop("sim")
+    }),
+
     // --- text: token/quality stats (integer-exact)
     "q_txt_token_stats" -> ((s, dir) => {
       val toks = split(col("text"), " ")
@@ -689,6 +707,24 @@ object SparkEntry {
          |scored AS (SELECT l.vec_id AS q_id, r.vec_id AS n_id,
          |    ${cosineSql("l", "r", 64)} AS sim
          |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, rank::BIGINT AS rank, floor(sim*10000 + 0.5)::BIGINT AS sim_x1e4
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_ann_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |sims AS (SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosineSqlCols("e.embedding", "c.cemb", 64)} AS csim
+         |  FROM e CROSS JOIN c),
+         |asn AS (SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM sims),
+         |cells AS (SELECT vec_id, embedding, cid FROM asn WHERE rn = 1),
+         |q AS (SELECT * FROM cells WHERE vec_id < 50),
+         |scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    ${cosineSqlCols("q.embedding", "n.embedding", 64)} AS sim
+         |  FROM q JOIN cells n ON q.cid = n.cid AND q.vec_id <> n.vec_id),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
          |  FROM scored)
          |SELECT q_id, n_id, rank::BIGINT AS rank, floor(sim*10000 + 0.5)::BIGINT AS sim_x1e4

@@ -96,6 +96,40 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF cell id: argmax-cosine over a SMALL centroid table folded into the
+    * plan as array literals — the assignment is a narrow, shuffle-free
+    * per-row fold (ties -> smallest cell id). A production system would
+    * k-means the centroids; the join shape is identical. */
+  def ivfCell(emb: Column, centroids: Seq[(Int, Array[Double])]): Column =
+    centroids.foldLeft(struct(lit(Double.MinValue).as("s"), lit(-1).as("c"))) {
+      case (acc, (cid, v)) =>
+        val sim = cosine(emb, array(v.map(lit): _*))
+        when(sim > acc.getField("s"), struct(sim.as("s"), lit(cid).as("c")))
+          .otherwise(acc)
+    }.getField("c")
+
+  /** IVF (inverted-file) ANN: the corpus partitions into cells by nearest
+    * centroid; each query probes ONLY its own cell (nProbe=1) — candidate
+    * pairs form within a cell, the same bounded-join shape as
+    * [[lshTopK]] but with data-adaptive regions instead of hyperplane
+    * buckets. Recall < 1 by design (cell-boundary neighbours are missed);
+    * the centroid count trades cell size against recall. */
+  def ivfTopK(corpus: DataFrame, queryFilter: Column, k: Int,
+              centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val cells = corpus.select(col("vec_id"), col("embedding"),
+      ivfCell(col("embedding"), centroids).as("cell"))
+    val q = cells.filter(queryFilter)
+      .select(col("cell"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val n = cells.select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = q.join(n, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by the seeded
     * hyperplane bucket (no label column needed — real corpora have none)
     * and capped by `maxBucket`. */

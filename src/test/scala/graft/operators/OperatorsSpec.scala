@@ -71,10 +71,36 @@ class SimilaritySpec extends GraftSpec {
   test("lsh top-k agrees with brute force for same-bucket vectors") {
     val brute = Similarity.bruteForceTopK(em, em, 1)
       .select("q_id", "n_id").as[(Long, Long)].collect().toMap
-    val lsh = Similarity.lshTopK(em, 1, planes = 4)
+    val lsh = Similarity.lshTopK(em, 1, planes = 4, dim = 16)
       .select("q_id", "n_id").as[(Long, Long)].collect().toMap
     // 0 and 1 share sign pattern -> found in both
     assert(lsh.get(0L) == brute.get(0L) || lsh.get(0L).contains(1L))
+  }
+
+  test("ivf top-k: probing the query's cell finds the planted near-duplicate") {
+    val cents = Seq((0, vec(1).map(_.toDouble).toArray),
+      (1, vec(5).map(_.toDouble).toArray))
+    val res = Similarity.ivfTopK(em, col("vec_id") < 2, 1, cents)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    assert(res(0L) == 1L && res(1L) == 0L) // same cell, mutual nearest
+  }
+
+  test("maxBucket cap bounds the pair space on a skew-sign corpus") {
+    // all-positive embeddings (post-ReLU shape): raw component signs would
+    // collapse every row into ONE bucket and the self-join would go
+    // quadratic; the cap drops the degenerate bucket instead
+    val skew = (0L until 200L).map(i =>
+      (i, (0 until 16).map(j => 1f + ((i * 17 + j) % 5) / 10f))).toDF("vec_id", "embedding")
+    // seeded +-1 hyperplanes still split all-positive vectors across
+    // buckets; force the degenerate case with planes = 0 (single bucket)
+    val capped = Similarity.lshTopK(skew, 3, planes = 0, dim = 16, maxBucket = 100)
+    assert(capped.count() == 0, "degenerate bucket must be dropped, not joined")
+    val pairsCapped = Similarity.cosineNearDupPairs(skew, 0.0, planes = 0, dim = 16,
+      maxBucket = 100)
+    assert(pairsCapped.count() == 0)
+    // and with the cap satisfied, results flow normally
+    val ok = Similarity.lshTopK(skew, 1, planes = 0, dim = 16, maxBucket = 200)
+    assert(ok.count() > 0)
   }
 
   test("cosine near-dup pairs finds only the planted pair at high threshold") {
