@@ -127,6 +127,28 @@ object PatchWriter {
     fileCount.value
   }
 
+  /** The dump-report trailer file (dump_nquads.sql:58-83 emits these five
+    * lines, which csplit lands in a final `rdf_out_*` file of its own —
+    * sample fixture rdf_out_00000000000000-00000000000002). Serial
+    * 99999999999998 sorts after every data chunk but before the
+    * reference's sham end-marker. Label padding exactly as the procedure
+    * writes it (values at column 18; note '# dump completed ' one space). */
+  def writeDumpReport(spark: SparkSession, outDir: String, checkpoint: String,
+                      started: String, completed: String,
+                      quadCount: Long, fileCount: Long): Unit = {
+    val lines = Seq(
+      s"# at checkpoint  $checkpoint",
+      s"# dump started   $started",
+      s"# dump completed $completed",
+      s"# quad count     $quadCount",
+      s"# file count     $fileCount").mkString("", "\n", "\n")
+    val p = new Path(outDir, f"rdf_out_$checkpoint-${99999999999998L}%014d")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Read a patch dir back (for tests / reconciliation). */
   def readLines(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "false").text(dir + "/*")

@@ -45,6 +45,9 @@ object ManifestBuilder {
         col("length"),
         md5(col("content")).as("md5"),
         date_format(col("modificationTime"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("lastmod"))
+      // F6 analogue (split-graphs.sh:78-85): info-only files with no graph
+      // (the dump-report trailer) are not publishable resources
+      .filter(col("graph_b64") =!= "")
       .withColumn("rn", row_number().over(w))
       .withColumn("batch", floor((col("rn") - 1) / filesPerBatch).cast("long"))
     val totals = inv.groupBy("graph_b64", "batch").agg(count(lit(1)).as("n_in_batch"))

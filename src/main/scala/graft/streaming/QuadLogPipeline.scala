@@ -182,6 +182,7 @@ final class QuadLogPipeline(
     * scale the deserialized-row cache was the memory-bandwidth bottleneck,
     * and at target scale caching the corpus is impossible regardless. */
   def bootstrap(pages: Dataset[Page], epoch: String, checkpoint: String): BatchResult = {
+    val startedAtMs = System.currentTimeMillis()
     contrib.reset(); facts.reset(); canon.reset(); graphIdx.reset()
     if (hfs.exists(markerPath)) hfs.delete(markerPath, false)
     val raw = rawQuads(pages)
@@ -211,6 +212,13 @@ final class QuadLogPipeline(
     }
     updateGraphIndex(sBack, 0L)
     val added = sBack.count() // parquet metadata count — no recompute
+    // dump-report trailer file (dump_nquads.sql:58-83 / sample fixture)
+    val isoNow = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    PatchWriter.writeDumpReport(spark, s"$root/patches/batch_0", checkpoint,
+      started = isoNow.format(java.time.Instant.ofEpochMilli(startedAtMs)),
+      completed = isoNow.format(java.time.Instant.now()),
+      quadCount = added, fileCount = files)
     writeLineage(epoch, 0L, pages, added, 0L, files)
     dropScratch()
     BatchResult(0L, added, 0L, files)

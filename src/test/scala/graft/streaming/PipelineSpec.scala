@@ -89,6 +89,17 @@ class PipelineSpec extends GraftSpec {
     val files = fs.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
       .map(_.getName).filter(!_.startsWith("."))
     assert(files.nonEmpty && files.forall(_.matches("rdf_out_00000000000000-\\d{14}")))
+    // dump-report trailer file (dump_nquads.sql:58-83 / sample fixture):
+    // five '#' lines, values at column 18, quad/file counts reconciled
+    val report = new java.io.File(
+      s"$root/patches/batch_0/rdf_out_00000000000000-99999999999998")
+    assert(report.exists())
+    val rl = scala.io.Source.fromFile(report, "UTF-8").getLines().toVector
+    assert(rl(0) == "# at checkpoint  00000000000000")
+    assert(rl(1).startsWith("# dump started   "))
+    assert(rl(2).startsWith("# dump completed "))
+    assert(rl(3) == s"# quad count     ${r0.added}")
+    assert(rl(4) == s"# file count     ${r0.files}")
     // lineage recorded per bucket with counts
     val lin = pipe.lineage
     assert(lin.filter(col("batchId") === 0).agg(max("added")).head().getLong(0) == r0.added)

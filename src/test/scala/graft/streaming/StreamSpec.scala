@@ -35,5 +35,23 @@ class StreamSpec extends GraftSpec {
     // state must equal the full re-extraction of snapshot 1
     val expected = pipe.extractedQuads(s1)
     assert(QuadDiff.diff(pipe.currentQuads, expected).count() == 0)
+
+    // and the whole streamed changelog publishes end-to-end: zips + the
+    // ResourceSync metadata set over every committed batch dir, fanned out
+    // by the pipeline's graph index (three reference stages glued)
+    val sink = tmpDir("stream_sink")
+    val zips = graft.publish.ZipPublisher.publish(spark, s"$root/patches", sink,
+      filesPerZip = 5, graphIndex = Some(pipe.graphIndex))
+    assert(zips.nonEmpty)
+    assert(new java.io.File(s"$sink/.well-known/resourcesync").exists())
+    val pubGraphs = zips.map(_.graph_b64).toSet
+    val idxGraphs = pipe.graphIndex.select("g_b64").collect().map(_.getString(0)).toSet
+    assert(pubGraphs.subsetOf(idxGraphs))
+    // reconciliation (A7): published resources == committed patch files
+    val published = zips.map(_.nResources).sum
+    val onDisk = new java.io.File(s"$root/patches").listFiles().flatMap(b =>
+      b.listFiles().filter(_.isDirectory).flatMap(_.listFiles()))
+      .count(f => f.getName.startsWith("rdf_out_")) // not hadoop .crc sidecars
+    assert(published == onDisk)
   }
 }
