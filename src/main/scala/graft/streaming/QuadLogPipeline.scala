@@ -198,8 +198,12 @@ final class QuadLogPipeline(
       contrib.setEpoch(epoch)
     }
     val cBack = contrib.read().get
+    // support = count(1), NOT count_distinct(url): contrib rows are distinct
+    // per (url, quad) BY CONSTRUCTION (per-page dedup in every extractor
+    // path and after every canonical rewrite), so plain count is equal and
+    // skips exact-distinct's per-group hash sets on the full-corpus agg
     val supports = cBack.groupBy(quadCols.map(col): _*)
-      .agg(count_distinct(col("url")).as("support"))
+      .agg(count(lit(1)).as("support"))
       .withColumn("bucket", facts.bucketCol(quadKey: _*))
     timed("bootstrap.commitFacts") {
       facts.commitFull(supports, 0L)
