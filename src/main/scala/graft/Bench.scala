@@ -119,6 +119,23 @@ object Bench {
       }
     }
 
+    // IVF quality: recall of the approximate top-k vs the exact brute-force
+    // top-k on the same query set (the speed/recall trade IS the operator's
+    // contract — a fast ANN with unmeasured recall is not evidence)
+    val ivfRecall: Option[Double] = if (skipQueries) None else try {
+      import org.apache.spark.sql.functions.col
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cents = graft.operators.Similarity.kmeansCentroids(e, k = 8,
+        sampleSize = 256, iters = 5)
+      val qf = col("vec_id") < 50
+      val brute = graft.operators.Similarity.bruteForceTopK(e, e.filter(qf), 3)
+        .select("q_id", "n_id")
+      val ivf = graft.operators.Similarity.ivfTopK(e, qf, 3, cents, nProbe = 2)
+        .select("q_id", "n_id")
+      val denom = brute.count().toDouble
+      if (denom == 0) None else Some(ivf.intersect(brute).count() / denom)
+    } catch { case _: Throwable => None }
+
     // JIT warmup pass (small input, separate root): scaling comparisons
     // must not charge one-time codegen/JIT compilation to either level
     if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1"))
@@ -152,7 +169,8 @@ object Bench {
     val allTimes = queryTimes :+ ("pipeline_e2e" -> pipeSecs)
     val qs = allTimes.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = allTimes.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs":$docs,"pipeline_quads":$quads,"docs_per_sec":$docsPerSec%.1f,"dump_quads_per_sec":$dumpQps%.1f,"cpus":"$cpus"}""")
+    val recallField = ivfRecall.map(r => f""","ivf_recall":$r%.3f""").getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_docs":$docs,"pipeline_quads":$quads,"docs_per_sec":$docsPerSec%.1f,"dump_quads_per_sec":$dumpQps%.1f$recallField,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

@@ -25,10 +25,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Portable 60-bit hash: conv(substr(md5(x || '#salt'),1,15),16,10).
-    * DuckDB mirror: ('0x'||substr(md5(x||'#salt'),1,15))::BIGINT. */
-  private def phash(c: Column, salt: Int): Column =
-    conv(substring(md5(concat(c, lit(s"#$salt"))), 1, 15), 16, 10).cast("long")
+  // Portable 60-bit hash recipe (both engines + the typed hot path agree):
+  //   Spark Column:  conv(substr(md5(x || '#salt'), 1, 15), 16, 10)::long
+  //   DuckDB:        ('0x' || substr(md5(x || '#salt'), 1, 15))::BIGINT
+  //   typed Scala:   Dedup.phashScala (byte-fold of the same 15 hex chars)
+  // PortableHashSpec proves all three bit-identical.
 
   /** Fixed-point: floor(x*10^4+0.5) as BIGINT (half-up; same formula in SQL). */
   private def fx4(c: Column): Column = floor(c * 10000d + 0.5d).cast("long")
@@ -71,6 +72,10 @@ object SparkEntry {
   /** Where q_pipeline_bootstrap materializes its closed-form expected table
     * for the DuckDB side of the tri-check. */
   private val expectedBootstrapDir = "/tmp/graft_expected_bootstrap"
+
+  /** Where q_ann_ivf_topk materializes its k-means centroids so the DuckDB
+    * oracle assigns cells from the identical double vectors. */
+  private val ivfCentroidsDir = "/tmp/graft_ivf_centroids"
 
   /** Deterministic pipeline root: cleared first — the canonical map is
     * pipeline STATE, and a leftover map from an earlier process would make
@@ -281,22 +286,15 @@ object SparkEntry {
         .withColumn("group_size", col("group_size").cast("long"))
     }),
 
-    // --- dedup: minhash signatures (portable hash; 4 of the 8 funcs shown)
+    // --- dedup: minhash signatures (portable hash, typed single-pass mins)
     "q_dedup_minhash_sig" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      (0 until 4).foldLeft(toks) { (df, i) =>
-        df.withColumn(s"h$i", array_min(transform(col("toks"), c => phash(c, i))))
-      }.select("doc_id", "h0", "h1", "h2", "h3")
+      Dedup.portableMinhashSigs(t(s, dir, "documents"), numHashes = 4)
     }),
 
     // --- dedup: minhash banded-LSH candidate pairs + agreement
     "q_dedup_minhash_pairs" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      val sigs = (0 until 4).foldLeft(toks) { (df, i) =>
-        df.withColumn(s"h$i", array_min(transform(col("toks"), c => phash(c, i))))
-      }.select("doc_id", "h0", "h1", "h2", "h3")
+      val sigs = Dedup.portableMinhashSigs(t(s, dir, "documents"), numHashes = 4)
+        .localCheckpoint() // consumed 3x (two band joins + both sig sides)
       val bands = Seq(("h0", "h1"), ("h2", "h3"))
       val pairs = bands.map { case (x, y) =>
         val a = sigs.select(col("doc_id").as("a"), col(x).as("bx"), col(y).as("by"))
@@ -314,33 +312,16 @@ object SparkEntry {
         .select("a", "b", "agree")
     }),
 
-    // --- dedup: 16-bit SimHash (portable)
+    // --- dedup: 16-bit SimHash (portable hash, typed single-pass bit sums)
     "q_dedup_simhash" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      val bitSums = (0 until 16).map { b =>
-        aggregate(col("toks"), lit(0L), (acc, c) =>
-          acc + when(shiftright(phash(c, 99), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      }
-      val fp = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
-        acc.bitwiseOR(when(bitSums(b) > 0L, shiftleft(lit(1L), b)).otherwise(0L))
-      }
-      toks.select(col("doc_id"), fp.as("simhash"))
+      Dedup.portableSimhash(t(s, dir, "documents"), bits = 16, salt = 99)
     }),
 
     // --- dedup: simhash PAIRS via Hamming-adjacent band blocking (portable
     // 16-bit fingerprint, 4 bands of 4 bits; pigeonhole: hamming<=2 < bands)
     "q_dedup_simhash_pairs" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      val bitSums = (0 until 16).map { b =>
-        aggregate(col("toks"), lit(0L), (acc, c) =>
-          acc + when(shiftright(phash(c, 99), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      }
-      val fpCol = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
-        acc.bitwiseOR(when(bitSums(b) > 0L, shiftleft(lit(1L), b)).otherwise(0L))
-      }
-      val fps = toks.select(col("doc_id"), fpCol.as("simhash"))
+      val fps = Dedup.portableSimhash(t(s, dir, "documents"), bits = 16, salt = 99)
+        .localCheckpoint() // tiny; consumed by both sides of the band join
       val banded = fps.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 4).bitwiseAND(15L)): _*)).as(Seq("band", "key")))
@@ -382,18 +363,19 @@ object SparkEntry {
         .withColumn("sim_x1e4", fx4(col("sim"))).drop("sim")
     }),
 
-    // --- ANN: IVF (inverted-file) top-k — data-adaptive cells instead of
-    // hyperplane buckets; centroids = the first 8 corpus vectors (a
-    // production system would k-means them; the join shape is identical)
+    // --- ANN: IVF (inverted-file) top-k — data-adaptive cells from a
+    // deterministic seeded k-means (Lloyd over a bounded vec_id-ordered
+    // sample), queries probe their nProbe=2 nearest cells. The exact
+    // centroid vectors are materialized as a parquet side artifact that
+    // the DuckDB oracle reads back (same pattern as q_pipeline_bootstrap),
+    // so both engines assign cells from identical doubles.
     "q_ann_ivf_topk" -> ((s, dir) => {
+      import s.implicits._
       val e = t(s, dir, "embeddings")
-      val cents = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int"), col("embedding"))
-        .collect()
-        .map(r => (r.getInt(0),
-          r.getSeq[Float](1).map(_.toDouble).toArray))
-        .sortBy(_._1).toSeq
-      Similarity.ivfTopK(e, col("vec_id") < 50, 3, cents)
+      val cents = Similarity.kmeansCentroids(e, k = 8, sampleSize = 256, iters = 5)
+      cents.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cemb")
+        .coalesce(1).write.mode("overwrite").parquet(ivfCentroidsDir)
+      Similarity.ivfTopK(e, col("vec_id") < 50, 3, cents, nProbe = 2)
         .withColumn("sim_x1e4", fx4(col("sim"))).drop("sim")
     }),
 
@@ -683,21 +665,22 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |b0 AS (SELECT vec_id, embedding, (${hyperplaneBucketSql("e", 4, 64, 42)}) AS bucket FROM e),
          |ok AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 10000),
-         |b AS (SELECT b0.vec_id, b0.embedding, b0.bucket FROM b0 JOIN ok USING (bucket))
-         |SELECT l.vec_id AS a, r.vec_id AS b,
-         |  floor(list_cosine_similarity(l.embedding, r.embedding) * 10000 + 0.5)::BIGINT AS sim_x1e4
-         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-         |WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.25""".stripMargin,
+         |b AS (SELECT b0.vec_id, b0.embedding, b0.bucket FROM b0 JOIN ok USING (bucket)),
+         |scored AS (SELECT l.vec_id AS a, r.vec_id AS b,
+         |    ${cosineSql("l", "r", 64)} AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT a, b, floor(sim * 10000 + 0.5)::BIGINT AS sim_x1e4
+         |FROM scored WHERE sim >= 0.25""".stripMargin,
 
     "q_ann_brute_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
-        |scored AS (SELECT q.q_id, e.vec_id AS n_id,
-        |    list_cosine_similarity(q.q_emb, e.embedding) AS sim
-        |  FROM q CROSS JOIN embeddings e WHERE q.q_id <> e.vec_id),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
-        |  FROM scored)
-        |SELECT q_id, n_id, rank::BIGINT AS rank, floor(sim*10000 + 0.5)::BIGINT AS sim_x1e4
-        |FROM ranked WHERE rank <= 3""".stripMargin,
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT q.q_id, e.vec_id AS n_id,
+         |    ${cosineSqlCols("q.q_emb", "e.embedding", 64)} AS sim
+         |  FROM q CROSS JOIN embeddings e WHERE q.q_id <> e.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, n_id, rank::BIGINT AS rank, floor(sim*10000 + 0.5)::BIGINT AS sim_x1e4
+         |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q_ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
@@ -713,7 +696,7 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q_ann_ivf_topk" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+      s"""WITH c AS (SELECT cid, cemb FROM read_parquet('$ivfCentroidsDir/*.parquet')),
          |e AS (SELECT vec_id, embedding FROM embeddings),
          |sims AS (SELECT e.vec_id, e.embedding, c.cid,
          |    ${cosineSqlCols("e.embedding", "c.cemb", 64)} AS csim
@@ -721,7 +704,7 @@ object SparkEntry {
          |asn AS (SELECT vec_id, embedding, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM sims),
          |cells AS (SELECT vec_id, embedding, cid FROM asn WHERE rn = 1),
-         |q AS (SELECT * FROM cells WHERE vec_id < 50),
+         |q AS (SELECT vec_id, embedding, cid FROM asn WHERE vec_id < 50 AND rn <= 2),
          |scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
          |    ${cosineSqlCols("q.embedding", "n.embedding", 64)} AS sim
          |  FROM q JOIN cells n ON q.cid = n.cid AND q.vec_id <> n.vec_id),

@@ -162,18 +162,31 @@ object MinHashBlocking {
   }
 
   /** Banded candidate pairs: ids sharing ANY band bucket. bands*rowsPerBand
-    * must equal numHashes. Returns distinct (a, b) with a < b. */
-  def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    * must equal numHashes. Returns distinct (a, b) with a < b.
+    *
+    * `leftIds` (optional, one `id` column) restricts the LEFT side of the
+    * bucket join: only pairs with at least one endpoint in `leftIds` are
+    * produced. This is the incremental-batch shape — per-batch cost is then
+    * |new ids| x bucket-mates, not |accumulated domain|². */
+  def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                     leftIds: Option[DataFrame] = None): DataFrame = {
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*), lit(b))
       }: _*)).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("a"))
+    val lsrc = leftIds match {
+      case None      => banded
+      case Some(ids) => banded.join(ids.select("id"), Seq("id"), "left_semi")
+    }
+    val l = lsrc.select(col("band"), col("bucket"), col("id").as("a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("b"))
+    // a<b can't pre-filter when the left side is restricted (the new id may
+    // be the larger one) — normalize orientation after the join instead
     l.join(r, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
   }
 }
 
@@ -198,29 +211,38 @@ object IriCanonicalizer {
 
   /** Monotone-domain extension of a persisted canonical map (pipeline state,
     * reference T2-style): the domain is (old ids ∪ old canonicals ∪ new
-    * ids); edges are the freshly verified LSH pairs over that whole domain
-    * PLUS the old map's (id -> canonical) links, so clusters never fall
-    * apart even if a later threshold change would no longer pair them.
+    * ids); edges are verified LSH pairs TOUCHING A NEW ID plus the old
+    * map's (id -> canonical) links. Restricting pair generation to new ids
+    * is both the incremental-cost invariant (per-batch work proportional to
+    * |new ids|, not |accumulated domain|²) and semantics-preserving:
+    * old-old pairs either already passed (their edge is captured by the
+    * oldMap link union) or already failed at the same threshold.
     * Representatives stay the deterministic component min — when a new
     * alias BRIDGES two old clusters the losing cluster's representative
     * changes, and the caller must rewrite state recorded under it (the
     * pipeline emits -/+ remap patches; see QuadLogPipeline). */
   def extendMap(spark: SparkSession, oldMap: DataFrame, newIris: DataFrame,
                 jaccardThreshold: Double = 0.6): DataFrame = {
-    val ids = oldMap.select(col("id"))
+    val oldIds = oldMap.select(col("id"))
       .union(oldMap.select(col("canonical").as("id")))
-      .union(newIris.select(col("id")))
       .distinct()
+    val fresh = newIris.select(col("id")).distinct()
+      .join(oldIds, Seq("id"), "left_anti")
       .localCheckpoint()
-    val edges = verifiedPairs(ids, jaccardThreshold)
+    if (fresh.isEmpty) return oldMap // domain unchanged -> map unchanged
+    val ids = oldIds.union(fresh).distinct().localCheckpoint()
+    val edges = verifiedPairs(ids, jaccardThreshold, leftIds = Some(fresh))
       .unionByName(oldMap.filter(col("id") =!= col("canonical"))
         .select(col("id").as("src"), col("canonical").as("dst")))
     mapFromEdges(spark, ids, edges)
   }
 
   /** MinHash-LSH blocked + exact-Jaccard verified coreference candidate
-    * pairs over IRI local-name character-3-gram shingles. */
-  def verifiedPairs(iris: DataFrame, jaccardThreshold: Double): DataFrame = {
+    * pairs over IRI local-name character-3-gram shingles. `leftIds`
+    * restricts pair generation to pairs touching those ids (see
+    * [[MinHashBlocking.candidatePairs]]). */
+  def verifiedPairs(iris: DataFrame, jaccardThreshold: Double,
+                    leftIds: Option[DataFrame] = None): DataFrame = {
     // expr form because substring's pos argument is a lambda variable
     val toks = iris
       .withColumn("local",
@@ -230,7 +252,7 @@ object IriCanonicalizer {
       .select("id", "toks")
 
     val sigs = MinHashBlocking.signatures(toks, numHashes = 16)
-    val pairs = MinHashBlocking.candidatePairs(sigs, bands = 8, rowsPerBand = 2)
+    val pairs = MinHashBlocking.candidatePairs(sigs, bands = 8, rowsPerBand = 2, leftIds)
 
     // verify candidates with exact Jaccard on the shingle sets
     val ta = toks.select(col("id").as("a"), col("toks").as("ta"))
@@ -251,9 +273,22 @@ object IriCanonicalizer {
       .select(ids("id"), coalesce(col("component"), ids("id")).as("canonical"))
   }
 
+  /** The canonical map accumulates monotonically forever — at target scale
+    * it is billions of rows, far beyond any broadcastable size. Callers
+    * pass the map's row count (cheap: the map is always localCheckpointed /
+    * read from a store manifest); at or below this limit the rewrite joins
+    * broadcast, above it they fall back to plain shuffle joins keyed by the
+    * term. A NEGATIVE count means "unknown" and also falls back — never
+    * guess a broadcast. */
+  val broadcastRowLimit: Long = 5000000L
+
+  private def maybeBroadcast(canon: DataFrame, canonRows: Long): DataFrame =
+    if (canonRows >= 0 && canonRows <= broadcastRowLimit) broadcast(canon) else canon
+
   /** [[canonicalize]] for url-attributed contribution rows (keeps `url`). */
-  def canonicalizeAttributed(quads: DataFrame, canon: DataFrame): DataFrame = {
-    val cm = broadcast(canon)
+  def canonicalizeAttributed(quads: DataFrame, canon: DataFrame,
+                             canonRows: Long = 0L): DataFrame = {
+    val cm = maybeBroadcast(canon, canonRows)
     quads
       .join(cm.withColumnRenamed("id", "s").withColumnRenamed("canonical", "sCanon"),
         Seq("s"), "left")

@@ -2,9 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.sources.XXH64
 
 /** Large-scale training-data deduplication operators over a `documents`-shaped
-  * table (doc_id, text, ...). Five strategies, all declarative:
+  * table (doc_id, text, ...). Five strategies:
   *
   *  - exact: hash-groupBy on md5(text) — ONE shuffle keyed by digest
   *    (uniform, skew-free by construction).
@@ -18,17 +19,28 @@ import org.apache.spark.sql.functions._
   *  - embedding cosine: see [[Similarity]]; near-dup = cosine above a
   *    threshold within LSH sign-buckets.
   *
+  * HOT-PATH SHAPE (same rule as [[Similarity]]): the joins/aggregations are
+  * declarative, but per-document token loops (shingling, fingerprint bit
+  * sums, per-function minima) run in typed `mapPartitions` — Spark's
+  * higher-order array functions are CodegenFallback (interpreted, boxed),
+  * and the 64-pass `aggregate()` fingerprint was measured as the dominant
+  * cost of every simhash/minhash query. Column forms are kept (package-
+  * private) as equivalence-test references; the DuckDB oracle additionally
+  * certifies the typed forms end to end.
+  *
   * At 10^12 docs the only quadratic danger is the candidate pair space; every
   * operator here bounds it by blocking (band buckets / fingerprints), which
   * is the standard web-scale recipe.
   */
 object Dedup {
 
+  // --- shingling -----------------------------------------------------------
+
   /** Word n-gram shingles over an ALREADY-MATERIALIZED token array column.
     * Taking the array (not the text) matters: codegen does not eliminate
     * common subexpressions inside higher-order-function lambdas, so passing
     * `split(text)` here would re-split the text once per shingle position —
-    * O(len²) per document. */
+    * O(len²) per document. (Column form — equivalence reference.) */
   def shinglesOf(toks: Column, n: Int): Column =
     array_distinct(filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
@@ -40,6 +52,122 @@ object Dedup {
     docs.withColumn("__words", split(col(textCol), " "))
       .select(col(idCol).as("id"), shinglesOf(col("__words"), n).as("toks"))
       .filter(size(col("toks")) > 0)
+
+  /** Plain-Scala mirror of [[shinglesOf]] over split(text, " ") — identical
+    * strings, first-occurrence-distinct, empty shingles dropped. */
+  def shinglesScala(text: String, n: Int): Array[String] = {
+    val toks = text.split(" ", -1)
+    val last = math.max(toks.length - n, 0)
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + n, toks.length)
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < end) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+      if (sb.length > 0) seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
+  }
+
+  /** Typed shingle fan-out: (doc_id, sh) rows, distinct per document. */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        shinglesScala(text, n).map(sh => (id, sh))
+      })
+      .toDF("doc_id", "sh")
+  }
+
+  // --- portable (cross-engine) hashing --------------------------------------
+
+  /** Plain-Scala mirror of the portable 60-bit hash used by the oracle-
+    * checked queries: first 15 hex chars of md5(s + "#salt") as a long
+    * (= Spark `conv(substr(md5(..),1,15),16,10)` = DuckDB
+    * `('0x'||substr(md5(..),1,15))::BIGINT`). */
+  def phashScala(md: java.security.MessageDigest, s: String, salt: Int): Long = {
+    val d = md.digest((s + "#" + salt).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  /** Portable SimHash fingerprint over DISTINCT whitespace tokens: one typed
+    * pass per document — md5 once per (token, salt), all `bits` counters
+    * maintained in a single loop (the Column form ran `bits` separate
+    * interpreted aggregate() passes, each re-hashing every token). */
+  def portableSimhash(docs: DataFrame, bits: Int = 16, salt: Int = 99): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = bits
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val counters = new Array[Int](b)
+        it.map { case (id, text) =>
+          java.util.Arrays.fill(counters, 0)
+          val toks = text.split(" ", -1).distinct
+          var ti = 0
+          while (ti < toks.length) {
+            val h = phashScala(md, toks(ti), salt)
+            var bit = 0
+            while (bit < b) {
+              if (((h >> bit) & 1L) == 1L) counters(bit) += 1 else counters(bit) -= 1
+              bit += 1
+            }
+            ti += 1
+          }
+          var fp = 0L
+          var bit = 0
+          while (bit < b) { if (counters(bit) > 0) fp |= (1L << bit); bit += 1 }
+          (id, fp)
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Portable MinHash signatures over DISTINCT whitespace tokens: all
+    * `numHashes` per-function minima in one typed token loop.
+    * Output: (doc_id, h0 .. h<numHashes-1>). */
+  def portableMinhashSigs(docs: DataFrame, numHashes: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nh = numHashes
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val mins = Array.fill(nh)(Long.MaxValue)
+          val toks = text.split(" ", -1).distinct
+          var ti = 0
+          while (ti < toks.length) {
+            var i = 0
+            while (i < nh) {
+              val h = phashScala(md, toks(ti), i)
+              if (h < mins(i)) mins(i) = h
+              i += 1
+            }
+            ti += 1
+          }
+          (id, mins.toSeq)
+        }
+      }
+      .toDF("doc_id", "mins")
+    rows.select((col("doc_id") +:
+      (0 until nh).map(i => col("mins")(i).as(s"h$i"))): _*)
+  }
+
+  // --- operators -------------------------------------------------------------
 
   /** Exact dedup: canonical = min doc_id per identical text digest.
     * Returns (doc_id, canonical_id, group_size). */
@@ -72,13 +200,51 @@ object Dedup {
       .select(col("a"), col("b"), (col("agree") / numHashes.toDouble).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash over word shingles: bit b of the fingerprint is the sign
-    * of sum over shingles of (+1 if bit b of xxhash64(shingle) else -1).
-    * Pure expressions: per-bit sums via aggregate(), no UDF. */
+  /** 64-bit SimHash over word 2-gram shingles: bit b of the fingerprint is
+    * the sign of sum over shingles of (+1 if bit b of xxhash64(shingle)
+    * else -1). Typed single-pass fingerprint (see object scaladoc); the
+    * plain-Scala xxHash64 mirror is bit-identical to Spark's `xxhash64`
+    * (XxHash64MirrorSpec). Docs with no shingles are omitted, like the
+    * Column form's `size(toks) > 0` filter. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
               bits: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = bits
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val counters = new Array[Int](b)
+        it.flatMap { case (id, text) =>
+          val shs = shinglesScala(text, 2)
+          if (shs.isEmpty) None
+          else {
+            java.util.Arrays.fill(counters, 0)
+            var si = 0
+            while (si < shs.length) {
+              val h = XXH64.hashString(shs(si), 42L)
+              var bit = 0
+              while (bit < b) {
+                if (((h >> bit) & 1L) == 1L) counters(bit) += 1 else counters(bit) -= 1
+                bit += 1
+              }
+              si += 1
+            }
+            var fp = 0L
+            var bit = 0
+            while (bit < b) { if (counters(bit) > 0) fp |= (1L << bit); bit += 1 }
+            Some((id, fp))
+          }
+        }
+      }
+      .toDF("id", "simhash")
+  }
+
+  /** Column-expression SimHash (equivalence-test reference for [[simhash]];
+    * interpreted HOFs — never the hot path). */
+  private[operators] def simhashColumns(docs: DataFrame, idCol: String = "doc_id",
+                                        textCol: String = "text", bits: Int = 64): DataFrame = {
     val withToks = withShingles(docs, idCol, textCol, 2)
-    // bit b counter: sum(+-1) over tokens; fingerprint bit = (count > 0)
     val bitCols = (0 until bits).map { b =>
       aggregate(col("toks"), lit(0L),
         (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
@@ -121,13 +287,12 @@ object Dedup {
     * shingle. The shared-shingle join is bounded per shingle by `maxBucket`
     * (drop ubiquitous shingles — the classic stopword-block guard, and the
     * explicit skew handling: a shingle appearing in 10^6 docs would
-    * otherwise create 10^12 pairs). */
+    * otherwise create 10^12 pairs). Shingling is the typed fan-out; the
+    * blocking join and per-pair combine stay declarative. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         maxBucket: Int = 64): DataFrame = {
-    val toks = withShingles(docs, "doc_id", "text", n)
-      .withColumnRenamed("id", "doc_id")
-    val sizes = toks.select(col("doc_id"), size(col("toks")).as("n_toks"))
-    val exploded = toks.select(col("doc_id"), explode(col("toks")).as("sh"))
+    val exploded = shingleRows(docs, "doc_id", "text", n)
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
     val rare = exploded.groupBy("sh").count().filter(col("count") <= maxBucket)
     val pruned = exploded.join(rare.select("sh"), Seq("sh"), "left_semi")
     val l = pruned.select(col("sh"), col("doc_id").as("a"))

@@ -26,10 +26,14 @@ import graft.rdf.NQuadFormatter
   * splits into `P` uniform hash sub-streams; a chunk never crosses a
   * sub-stream, so chunk membership needs only LOCAL ranks:
   *
-  *   1. count rows per (graph, sub) — a tiny aggregate over hashed key
-  *      columns (map-side combined; no row text materialized);
-  *   2. prefix-sum ceil(cnt/maxq) per graph over that counts table ->
-  *      each sub-stream's first file serial (window over P rows/graph);
+  *   1. count rows per graph — the sub-stream fan-out is DATA-PROPORTIONAL:
+  *      nSubs(g) = ceil(count(g)/maxq), so a 100 TB graph gets millions of
+  *      parallel sub-streams while a graph smaller than one chunk gets
+  *      exactly one file (a fixed fan-out of 2x cores produced cores x
+  *      graphs tiny partial files — measured as the dump path's dominant
+  *      cost at bench scale: file creation, not row formatting);
+  *   2. count rows per (graph, sub); prefix-sum ceil(cnt/maxq) per graph
+  *      over that tiny table -> each sub-stream's first file serial;
   *   3. repartition by (graph, sub) — THE one exchange — sort within
   *      partitions, and stream each sub-stream straight into its final
   *      `rdf_out_<cp>-<serial>` files, cutting a new file every maxq rows
@@ -38,8 +42,9 @@ import graft.rdf.NQuadFormatter
   *
   * Rows are ordered inside a chunk by a hash of the quad, so output is
   * deterministic end to end. Sub-streams may each end with one partial
-  * file (at most P files per graph are smaller than maxq) — the reference
-  * bounds only the MAXIMUM per file (buffer_nquads.sql:24-27).
+  * file (at most nSubs(g) files per graph are smaller than maxq, and
+  * nSubs is minimal for the size) — the reference bounds only the MAXIMUM
+  * per file (buffer_nquads.sql:24-27).
   */
 object PatchWriter {
 
@@ -58,15 +63,26 @@ object PatchWriter {
     val P = math.max(spark.sparkContext.defaultParallelism * 2, 16)
 
     val quadColumns = patches.columns.filter(_ != "bucket").map(col).toSeq
-    val keyed = patches.select(quadColumns: _*)
+    val keyed0 = patches.select(quadColumns: _*)
       .withColumn("g_b64", base64(col("g").cast("binary")))
       .withColumn("h", xxhash64(quadColumns: _*))
-      .withColumn("sub", pmod(col("h"), lit(P)).cast("int"))
 
-    // pass 1: per-(graph, sub) counts -> first-serial offsets (prefix sum of
-    // per-sub file counts over a tiny table: P rows per graph, windowed per
-    // graph => parallel across graphs). No line text is materialized here —
-    // the aggregate only touches the hash/key columns.
+    // pass 1: per-graph counts -> minimal data-proportional sub fan-out.
+    // The graph dimension is tiny relative to the quads (one row per graph;
+    // even 10^6 graphs broadcast in tens of MB), so it rides along as a
+    // broadcast — never an exchange of the quad stream.
+    val gcounts = keyed0.groupBy("g_b64").agg(count(lit(1)).as("gcnt"))
+      .withColumn("nSubs",
+        greatest(ceil(col("gcnt") / lit(maxq.toDouble)), lit(1L)).cast("int"))
+      .select("g_b64", "nSubs")
+      .localCheckpoint()
+    val keyed = keyed0.join(broadcast(gcounts), Seq("g_b64"))
+      .withColumn("sub", pmod(col("h"), col("nSubs")).cast("int"))
+
+    // pass 2: per-(graph, sub) counts -> first-serial offsets (prefix sum of
+    // per-sub file counts over a tiny table: nSubs rows per graph, windowed
+    // per graph => parallel across graphs). No line text is materialized
+    // here — the aggregate only touches the hash/key columns.
     val counts = keyed.groupBy("g_b64", "sub").agg(count(lit(1)).as("cnt"))
       .withColumn("nFiles", ceil(col("cnt") / lit(maxq.toDouble)).cast("long"))
     val offW = Window.partitionBy("g_b64").orderBy("sub")
@@ -74,8 +90,9 @@ object PatchWriter {
     val offsets = counts
       .withColumn("serial0", coalesce(sum("nFiles").over(offW), lit(0L)))
       .select("g_b64", "sub", "serial0")
+      .localCheckpoint()
 
-    // pass 2 — THE one full-data exchange: cluster by (graph, sub), sort,
+    // pass 3 — THE one full-data exchange: cluster by (graph, sub), sort,
     // stream each sub straight into its final files
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)

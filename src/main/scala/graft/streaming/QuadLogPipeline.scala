@@ -154,11 +154,19 @@ final class QuadLogPipeline(
     out.withColumn("bucket", contrib.bucketCol(col("url")))
   }
 
-  /** identity map -> skip the rewrite joins AND the per-page re-dedup. */
-  private def rewriteIfNonTrivial(quads: DataFrame, cmap: DataFrame): DataFrame =
-    if (!cmap.filter(col("id") =!= col("canonical")).isEmpty)
-      IriCanonicalizer.canonicalizeAttributed(quads, cmap)
+  /** identity map -> skip the rewrite joins AND the per-page re-dedup.
+    * One aggregate yields both the non-trivial check and the row count the
+    * rewrite join needs for its broadcast-vs-shuffle decision (the map
+    * grows monotonically forever — see IriCanonicalizer.broadcastRowLimit;
+    * broadcasting it unconditionally is a guaranteed OOM at target scale). */
+  private def rewriteIfNonTrivial(quads: DataFrame, cmap: DataFrame): DataFrame = {
+    val stats = cmap.agg(count(lit(1)),
+      sum(when(col("id") =!= col("canonical"), 1L).otherwise(0L))).head()
+    val rows = stats.getLong(0)
+    val nonTrivial = rows > 0 && !stats.isNullAt(1) && stats.getLong(1) > 0L
+    if (nonTrivial) IriCanonicalizer.canonicalizeAttributed(quads, cmap, rows)
     else quads
+  }
 
   /** Raw extraction for one batch — deliberately LAZY (re-evaluated by each
     * consumer: IRI distinct, delta aggregation, store merge). Measured on
@@ -185,6 +193,11 @@ final class QuadLogPipeline(
     val startedAtMs = System.currentTimeMillis()
     contrib.reset(); facts.reset(); canon.reset(); graphIdx.reset()
     if (hfs.exists(markerPath)) hfs.delete(markerPath, false)
+    // A4 (vql_check_trx, dump_nquads.sql:75-78, 98-143): fingerprint the
+    // input snapshot BEFORE the dump; re-checked after commit — a drifting
+    // source (concurrent inserts/deletes during the multi-pass dump)
+    // invalidates the dump loudly instead of committing a torn snapshot.
+    val fp0 = snapshotFingerprint(pages)
     val raw = rawQuads(pages)
     val contribData =
       if (!canonicalize) raw
@@ -224,8 +237,30 @@ final class QuadLogPipeline(
       completed = isoNow.format(java.time.Instant.now()),
       quadCount = added, fileCount = files)
     writeLineage(epoch, 0L, pages, added, 0L, files)
+    assertSnapshotStable(pages, fp0) // A4: invalidate on input drift
     dropScratch()
     BatchResult(0L, added, 0L, files)
+  }
+
+  /** (count, order-independent xxhash64 signature) of a page snapshot —
+    * cheap relative to extraction (one column-pruned pass). */
+  private def snapshotFingerprint(pages: Dataset[Page]): (Long, Long) = {
+    val r = pages.toDF().select("url", "warc_ts", "text")
+      .agg(count(lit(1)), bit_xor(xxhash64(col("url"), col("warc_ts"), col("text"))))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** A4's actual safety net: the dump is only valid if the source it read
+    * was immutable for the dump's whole duration. Mirrors the reference's
+    * dump invalidation (dump_nquads.sql:75-78: a transaction count change
+    * during the dump raises and scraps the dump). */
+  private def assertSnapshotStable(pages: Dataset[Page], fp0: (Long, Long)): Unit = {
+    val fp1 = snapshotFingerprint(pages)
+    if (fp1 != fp0)
+      sys.error(s"bootstrap dump INVALID: input snapshot changed during the " +
+        s"dump (fingerprint $fp0 -> $fp1); re-run against an immutable snapshot " +
+        s"(reference vql_check_trx invalidation, dump_nquads.sql:75-78)")
   }
 
   /** Incremental batch (lifecycle 3.2). `changed` = pages whose current
@@ -244,28 +279,42 @@ final class QuadLogPipeline(
         (rawNew, rawNew.limit(0).select(col("s").as("id"), col("s").as("canonical")))
       else {
         val (cmap, remapped) = extendedCanonMap(rawNew)
-        // idempotent on crash-rerun: same inputs -> same map recomputed
-        canon.commitFull(cmap.withColumn("bucket", canon.bucketCol(col("id"))), batchId)
+        // STAGED, not committed: the extended map must move atomically with
+        // the facts/contrib stores. A crash after an early canon commit but
+        // before the batch marker would make the re-run derive remapPairs
+        // against the already-extended map (empty remap set) — stored rows
+        // under superseded representatives would silently never be
+        // rewritten. Staging keeps canon.read() on the OLD snapshot until
+        // the single marker-guarded finalize below flips all three.
+        canon.stageFull(cmap.withColumn("bucket", canon.bucketCol(col("id"))), batchId)
         (rewriteIfNonTrivial(rawNew, cmap), remapped)
       }
     val newContrib = newContrib0.withColumn("bucket", contrib.bucketCol(col("url")))
 
     // remap flow: stored rows recorded under superseded representatives are
     // rewritten and their urls treated as touched — their -old/+new falls
-    // out of the ordinary signed-delta machinery below. The rep list is
-    // tiny (cluster merges are rare); the scan is column-pruned to
-    // (url, s, oKind, oLex).
-    val remapList = remapPairs.collect()
+    // out of the ordinary signed-delta machinery below. Cluster merges are
+    // rare so the pair set is usually tiny, but it stays DISTRIBUTED: a
+    // semi-join against it (auto-broadcast when small) instead of a driver
+    // collect + isin literals, which one alias-heavy batch could blow up.
+    // Only its count comes back to the driver. The scan is column-pruned
+    // to (url, s, oKind, oLex).
+    val remapPairsC = remapPairs.localCheckpoint()
+    val nRemap = remapPairsC.count()
     val changedUrls = changed.toDF().select(col("url"))
     val remapUrls: DataFrame =
-      if (remapList.isEmpty) changedUrls.limit(0)
+      if (nRemap == 0) changedUrls.limit(0)
       else {
-        val reps = remapList.map(_.getString(0)).toSeq
         timed("incr.remapScan") {
-          contrib.read().get
-            .filter(col("s").isin(reps: _*) ||
-              (col("oKind") === graft.model.TermKind.Iri && col("oLex").isin(reps: _*)))
-            .select(col("url")).distinct()
+          val stored = contrib.read().get
+          val byS = stored
+            .join(remapPairsC.select(col("id").as("s")), Seq("s"), "left_semi")
+            .select(col("url"))
+          val byO = stored
+            .filter(col("oKind") === graft.model.TermKind.Iri)
+            .join(remapPairsC.select(col("id").as("oLex")), Seq("oLex"), "left_semi")
+            .select(col("url"))
+          byS.union(byO).distinct()
             .join(changedUrls, Seq("url"), "left_anti") // changed pages re-extract anyway
             .join(deletedUrls.toDF("url"), Seq("url"), "left_anti")
             .localCheckpoint()
@@ -288,10 +337,10 @@ final class QuadLogPipeline(
     // rewritten state of remap-affected urls = their stored rows passed
     // through the (oldRep -> newRep) map
     val rewrittenOld =
-      if (remapList.isEmpty) newContrib.limit(0)
+      if (nRemap == 0) newContrib.limit(0)
       else IriCanonicalizer.canonicalizeAttributed(
           oldInBuckets.join(remapUrls, Seq("url"), "left_semi").drop("bucket"),
-          remapPairs)
+          remapPairsC, nRemap)
         .withColumn("bucket", contrib.bucketCol(col("url")))
     val newSide = newContrib.unionByName(rewrittenOld)
 
@@ -317,28 +366,41 @@ final class QuadLogPipeline(
       oldFacts.drop("bucket"), d.drop("bucket"))
     val patchesC = patches0.localCheckpoint() // small; read by write + tally
 
-    val files = timed("incr.patchFiles") {
-      PatchWriter.write(spark, patchesC, s"$root/patches/batch_$batchId", checkpoint, maxq)
-    }
-    // new graphs can only arrive with '+' patches — patchesC is checkpointed
-    // and tiny, so the index merge costs no extra extraction pass
-    updateGraphIndex(patchesC, batchId)
-
-    // --- atomic two-store commit: stage, lineage, marker, finalize ---
-    timed("incr.mergeFacts") {
-      facts.stageMerge(newFactRows.withColumn("bucket", facts.bucketCol(quadKey: _*)),
-        factBuckets, batchId)
-    }
     val keptOld = oldInBuckets match {
       case df if df.columns.isEmpty => newContrib.limit(0)
       case df => df.join(touchedUrls.select("url"), Seq("url"), "left_anti")
     }
-    timed("incr.mergeContrib") {
+
+    // The four sink writes below are INDEPENDENT jobs over already-
+    // checkpointed/committed inputs and different directories — submitted
+    // concurrently so the stage that is IO-bound (patch files) overlaps the
+    // ones that are compute-bound (the contrib merge re-runs extraction).
+    // On a single box the kernel serializes the final write syscalls, but
+    // the compute under them proceeds in parallel (BENCH.md §Scaling
+    // residual: sequential `timed` phases wasted the idle cores).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = sinkEc
+    val fFiles = Future(timed("incr.patchFiles") {
+      PatchWriter.write(spark, patchesC, s"$root/patches/batch_$batchId", checkpoint, maxq)
+    })
+    // new graphs can only arrive with '+' patches — patchesC is checkpointed
+    // and tiny, so the index merge costs no extra extraction pass
+    val fIdx = Future(updateGraphIndex(patchesC, batchId))
+    val fFacts = Future(timed("incr.mergeFacts") {
+      facts.stageMerge(newFactRows.withColumn("bucket", facts.bucketCol(quadKey: _*)),
+        factBuckets, batchId)
+    })
+    val fContrib = Future(timed("incr.mergeContrib") {
       contrib.stageMerge(
         keptOld.select(newContrib.columns.map(col): _*)
           .unionByName(newSide.join(deletedUrls.toDF("url"), Seq("url"), "left_anti")),
         affectedBuckets, batchId)
-    }
+    })
+    val files = Await.result(fFiles, Duration.Inf)
+    Await.result(fIdx, Duration.Inf)
+    Await.result(fFacts, Duration.Inf)
+    Await.result(fContrib, Duration.Inf)
 
     // one job for both tallies (checkpointed patches)
     val tallies = patchesC.groupBy("op").count().collect()
@@ -347,15 +409,27 @@ final class QuadLogPipeline(
     val deleted = tallies.getOrElse("-", 0L)
     // lineage BEFORE the marker: a crash before the marker recomputes the
     // batch (duplicate lineage rows are harmless — readers aggregate);
-    // after the marker, recovery replays the pointer flips below
+    // after the marker, recovery replays the pointer flips below.
+    // The marker-guarded finalize flips ALL staged stores (canon included —
+    // it moves atomically with the data it canonicalizes).
     writeLineage(epoch, batchId, changed, added, deleted, files)
     writeCommitMarker(batchId)
+    if (canonicalize) canon.finalizeCommit(batchId)
     facts.finalizeCommit(batchId)
     contrib.finalizeCommit(batchId)
 
     touchedUrls.unpersist(); dropScratch()
     BatchResult(batchId, added, deleted, files)
   }
+
+  /** Pool for concurrent sink-write job submission (Spark job submission is
+    * thread-safe; local-mode tasks all run on the shared executor anyway —
+    * this only overlaps the per-job driver-side planning + IO waits). */
+  private lazy val sinkEc: scala.concurrent.ExecutionContextExecutorService =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-sink"); t.setDaemon(true); t
+      }))
 
   /** Step timing, printed when GRAFT_TIMING=1 (perf triage aid). */
   private def timed[T](label: String)(f: => T): T = {
@@ -393,9 +467,12 @@ final class QuadLogPipeline(
   }
 
   /** Replay pointer flips for a batch whose marker was written but whose
-    * stores were not all finalized (crash between the two flips). */
+    * stores were not all finalized (crash between the flips). Canon is part
+    * of the protocol: it stages with the batch and flips with it. */
   def recoverPartialCommit(): Unit = commitMarker.foreach { m =>
-    Seq(facts, contrib).foreach { s => if (s.isStagedNotFinal(m)) s.finalizeCommit(m) }
+    Seq(canon, facts, contrib).foreach { s =>
+      if (s.isStagedNotFinal(m)) s.finalizeCommit(m)
+    }
   }
 
   private def alreadyCommitted(batchId: Long): Boolean =

@@ -26,7 +26,7 @@ run_level () { # cores
     rm -rf /dev/shm/graft_*
     local out
     out=$(SPARK_GRAFT_PROC_COUNT=$C SPARK_DRIVER_MEM=8g SPARK_GRAFT_XMS=8g \
-      SPARK_GRAFT_WARMUP=1 \
+      SPARK_GRAFT_GC=parallel SPARK_GRAFT_WARMUP=1 \
       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_CPUS=$C \
       SPARK_GRAFT_BENCH_PAGES=$PAGES SPARK_GRAFT_QUERIES=off \
       taskset -c 0-$((C-1)) sbt -batch "runMain graft.Bench" 2>/dev/null \
