@@ -38,7 +38,7 @@ object Bench {
     val localDir =
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_spark_local"
       else System.getProperty("java.io.tmpdir")
-    SparkSession.builder()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       // 4x cores: wide stages pack into several waves (skew/straggler
@@ -64,6 +64,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    Preflight.assertSession(s)
+    s
   }
 
   /** Bench scratch root on tmpfs when available (same rationale). */

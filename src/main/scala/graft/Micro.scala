@@ -13,6 +13,14 @@ object Micro {
       val t0 = System.nanoTime(); val r = f
       println(f"[micro] $l%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs"); r
     }
+    if (sys.env.contains("QUERY")) {
+      // time arbitrary SparkEntry queries: QUERY=name1,name2 [REPS=2] [SF=dir]
+      val dir = sys.env.getOrElse("SF", "/root/testdata/sf0.1")
+      val reps = sys.env.getOrElse("REPS", "2").toInt
+      for (q <- sys.env("QUERY").split(","); r <- 1 to reps)
+        time(s"$q#$r")(SparkEntry.queries(q)(spark, dir).count())
+      spark.stop(); return
+    }
     if (sys.env.contains("EXPLAIN")) {
       val dir = "/root/testdata/sf0.01"
       for (q <- sys.env("EXPLAIN").split(",")) {

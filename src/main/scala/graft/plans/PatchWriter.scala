@@ -57,6 +57,14 @@ object PatchWriter {
       s"# base64         $b64",
       s"# amount         $amount")
 
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.get("GRAFT_TIMING").contains("1"))
+      println(f"[graft-timing]   $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
+  }
+
   /** patches: (op + quad cols). Returns number of files written. */
   def write(spark: SparkSession, patches: DataFrame, outDir: String,
             checkpoint: String, maxq: Int = 100000): Long = {
@@ -71,11 +79,11 @@ object PatchWriter {
     // The graph dimension is tiny relative to the quads (one row per graph;
     // even 10^6 graphs broadcast in tens of MB), so it rides along as a
     // broadcast — never an exchange of the quad stream.
-    val gcounts = keyed0.groupBy("g_b64").agg(count(lit(1)).as("gcnt"))
+    val gcounts = timed("patch.gcounts") { keyed0.groupBy("g_b64").agg(count(lit(1)).as("gcnt"))
       .withColumn("nSubs",
         greatest(ceil(col("gcnt") / lit(maxq.toDouble)), lit(1L)).cast("int"))
       .select("g_b64", "nSubs")
-      .localCheckpoint()
+      .localCheckpoint() }
     val keyed = keyed0.join(broadcast(gcounts), Seq("g_b64"))
       .withColumn("sub", pmod(col("h"), col("nSubs")).cast("int"))
 
@@ -87,10 +95,10 @@ object PatchWriter {
       .withColumn("nFiles", ceil(col("cnt") / lit(maxq.toDouble)).cast("long"))
     val offW = Window.partitionBy("g_b64").orderBy("sub")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
+    val offsets = timed("patch.offsets") { counts
       .withColumn("serial0", coalesce(sum("nFiles").over(offW), lit(0L)))
       .select("g_b64", "sub", "serial0")
-      .localCheckpoint()
+      .localCheckpoint() }
 
     // pass 3 — THE one full-data exchange: cluster by (graph, sub), sort,
     // stream each sub straight into its final files
@@ -104,7 +112,7 @@ object PatchWriter {
     fs0.mkdirs(fsRoot)
     val mq = maxq
 
-    keyed
+    timed("patch.writePass") { keyed
       .join(broadcast(offsets), Seq("g_b64", "sub"))
       .repartition(P, col("g_b64"), col("sub"))
       .sortWithinPartitions(col("g_b64"), col("sub"), col("h"))
@@ -140,7 +148,7 @@ object PatchWriter {
           buf.add(r.getString(4))
         }
         flushFile()
-      }
+      } }
     fileCount.value
   }
 

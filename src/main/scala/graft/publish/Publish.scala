@@ -65,8 +65,9 @@ object ManifestBuilder {
         Seq("resource", "md5"), "left_anti")
 
   /** Capability-list analogue: one summary row per batch (the sitemap
-    * entries; ≤50k items / 50MB limits from zipsynchronizer.py:26-31 are
-    * enforced by construction via filesPerBatch). */
+    * entries; the ≤50k items / ≤50 MB limits from zipsynchronizer.py:26-31
+    * are enforced on the publish path by [[ZipPublisher.publish]]'s count
+    * AND byte window caps). */
   def batchSummary(manifest: DataFrame): DataFrame =
     manifest.groupBy("graph_b64", "batch", "is_complete")
       .agg(count(lit(1)).as("n_resources"),
@@ -74,11 +75,22 @@ object ManifestBuilder {
         max("lastmod").as("lastmod"))
 }
 
+/** One inventory file with its greedy window assignment (typed row for the
+  * byte-aware batching pass). */
+final case class WindowedFile(graph_b64: String, resource: String, md5: String,
+                              length: Long, lastmod: String, batch: Long,
+                              is_complete: Boolean)
+
 /** The actual artifact emitter: zips + the four ResourceSync XML kinds. */
 object ZipPublisher {
 
   final case class ZipInfo(graph_b64: String, zipName: String, complete: Boolean,
                            nResources: Long, length: Long, md5: String, lastmod: String)
+
+  /** ResourceSync community limits (zipsynchronizer.py:26-31,
+    * syncdirector.py:53-55): a window closes at `filesPerZip` files OR at
+    * this many member bytes, whichever comes first. */
+  val MaxZipBytes: Long = 50L * 1024 * 1024
 
   private val XmlNs =
     """xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" xmlns:rs="http://www.openarchives.org/rs/terms/""""
@@ -86,9 +98,15 @@ object ZipPublisher {
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Atomic metadata write: tmp + rename. A crash mid-write can no longer
+    * leave a torn resource-dump.xml that the next run's read-modify-write
+    * trusts (zipsynchronizer.py:69-109's cleanup concern). */
   private def writeFile(f: FileSystem, p: Path, content: String): Unit = {
-    val out = f.create(p, true)
+    val tmp = new Path(p.getParent, p.getName + ".tmp" + System.nanoTime())
+    val out = f.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p)) sys.error(s"atomic rename failed: $tmp -> $p")
   }
 
   private def readFile(f: FileSystem, p: Path): String = {
@@ -167,7 +185,9 @@ object ZipPublisher {
   def publish(spark: SparkSession, patchDir: String, sinkDir: String,
               filesPerZip: Int = 1000,
               publishUrl: String = "http://example.com/",
-              graphIndex: Option[DataFrame] = None): Seq[ZipInfo] = {
+              graphIndex: Option[DataFrame] = None,
+              maxZipBytes: Long = MaxZipBytes,
+              onBuiltForTests: Seq[ZipInfo] => Unit = _ => ()): Seq[ZipInfo] = {
     import spark.implicits._
     val f = fs(spark, sinkDir)
     f.mkdirs(new Path(sinkDir))
@@ -190,14 +210,50 @@ object ZipPublisher {
       else inv0.join(spark.read.parquet(stateDir).select("resource"),
         Seq("resource"), "left_anti")
 
-    // re-window the unpublished remainder per graph
-    val w = Window.partitionBy(col("graph_b64")).orderBy(col("resource"))
-    val totals = inv.groupBy("graph_b64").agg(count(lit(1)).as("n_g"))
-    val windowed = inv.withColumn("rn", row_number().over(w))
-      .join(totals, Seq("graph_b64"))
-      .withColumn("batch", floor((col("rn") - 1) / filesPerZip).cast("long"))
-      .withColumn("is_complete",
-        (col("batch") + 1) * filesPerZip <= col("n_g"))
+    // Greedy per-graph windows over the unpublished remainder: a window
+    // closes at `filesPerZip` files OR `maxZipBytes` member bytes, whichever
+    // first (zipsynchronizer.py:26-31 / syncdirector.py:53-55 — the 50 MB
+    // sitemap-community limit a consumer relies on; 1000 default-size patch
+    // files would otherwise pack ~12.5 GB into one zip). Window completeness
+    // is only known when the window CLOSES — a stateful scan no fixed-frame
+    // SQL window expresses — so this is a typed pass that buffers at most
+    // one window; everything downstream stays declarative.
+    val fpz = filesPerZip
+    val mzb = maxZipBytes
+    val windowed = inv
+      .select(col("graph_b64"), col("resource"), col("md5"),
+        col("length").cast("long").as("length"), col("lastmod"))
+      .repartition(col("graph_b64"))
+      .sortWithinPartitions("graph_b64", "resource")
+      .as[(String, String, String, Long, String)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        val perGraph = new Iterator[Seq[WindowedFile]] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[WindowedFile] = {
+            val g = buf.head._1
+            val out = scala.collection.mutable.ArrayBuffer.empty[WindowedFile]
+            val cur = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, String)]
+            var batch = 0L
+            var bytes = 0L
+            def close(complete: Boolean): Unit = {
+              out ++= cur.map { case (res, m, len, lm) =>
+                WindowedFile(g, res, m, len, lm, batch, complete) }
+              cur.clear(); bytes = 0L; batch += 1
+            }
+            while (buf.hasNext && buf.head._1 == g) {
+              val r = buf.next()
+              if (cur.nonEmpty && bytes + r._4 > mzb) close(true)
+              cur += ((r._2, r._3, r._4, r._5)); bytes += r._4
+              if (cur.size >= fpz || bytes >= mzb) close(true)
+            }
+            if (cur.nonEmpty) close(false)
+            out.toSeq
+          }
+        }
+        perGraph.flatten
+      }
+      .toDF()
       .localCheckpoint() // consumed 3x below (end check, naming, zip build)
 
     // existing sink state: tiny per-graph maps (one entry per graph)
@@ -205,12 +261,15 @@ object ZipPublisher {
     val defIdx: Map[String, Int] = existingMaxIndex(spark, sinkDir, "part_def_")
     val endIdxMax: Map[String, Int] = existingMaxIndex(spark, sinkDir, "part_end_")
 
-    // J3: per-graph end-part membership (basename set) — ONE small row per
-    // graph comes back, never the file rows
+    // J3: per-graph end-part membership as (basename, md5) pairs — a member
+    // whose CONTENT changed under the same name triggers a rebuild, exactly
+    // the reference's resource+checksum identity (zipsynchronizer.py:
+    // 149-156). ONE small row per graph comes back, never the file rows.
     val endMembership = windowed.filter(!col("is_complete"))
       .withColumn("base", regexp_extract(col("resource"), "([^/]+)$", 1))
+      .select(col("graph_b64"), concat_ws("|", col("base"), col("md5")).as("m"))
       .groupBy("graph_b64")
-      .agg(sort_array(collect_list(col("base"))).as("members"))
+      .agg(sort_array(collect_list(col("m"))).as("members"))
       .as[(String, Seq[String])].collect()
       .map { case (g, m) => g -> m.toSet }.toMap
     val endChanged: Set[String] = endMembership.collect {
@@ -234,12 +293,19 @@ object ZipPublisher {
           format_string("part_def_%05d", (col("defBase") + col("batch")).cast("int")))
           .otherwise(format_string("part_end_%05d", col("endBase"))))
 
+    // every zip this run intends to write — the crash-cleanup manifest
+    // (zipsynchronizer.py:69-109: on failure delete every provisional
+    // artifact of the failed run, then re-raise)
+    val plannedZips: Seq[(String, String)] = assigned
+      .select("graph_b64", "zipName").distinct()
+      .as[(String, String)].collect().toSeq
+
     // distributed zip build: stream each (graph, zip) group's files straight
     // into the final zip; only the one-line summary per zip returns
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val sink = sinkDir
-    val built = assigned
+    val buildJob = assigned
       .select("graph_b64", "zipName", "is_complete", "resource", "md5", "length", "lastmod")
       .repartition(col("graph_b64"), col("zipName"))
       .sortWithinPartitions("graph_b64", "zipName", "resource")
@@ -263,10 +329,14 @@ object ZipPublisher {
           val gDir = new Path(sink, g)
           zfs.mkdirs(gDir)
           val zipPath = new Path(gDir, s"$name.zip")
+          // task-attempt-unique temp + rename-on-commit: a speculative or
+          // retried task never exposes a half-written final zip
+          val tmpPath = new Path(gDir,
+            s"$name.zip.tmpzip${java.util.UUID.randomUUID().toString.take(8)}")
           val manifest = manifestXml(members.map { case (res, m, len, lm) =>
             (res.substring(res.lastIndexOf('/') + 1), m, len, lm)
           })
-          val os = zfs.create(zipPath, true)
+          val os = zfs.create(tmpPath, true)
           val zos = new java.util.zip.ZipOutputStream(os)
           zos.setLevel(1) // speed over ratio: patch text compresses well anyway
           zos.putNextEntry(new java.util.zip.ZipEntry("manifest.xml"))
@@ -279,6 +349,9 @@ object ZipPublisher {
             zos.closeEntry()
           }
           zos.close()
+          if (zfs.exists(zipPath)) zfs.delete(zipPath, false)
+          if (!zfs.rename(tmpPath, zipPath))
+            sys.error(s"zip rename failed: $tmpPath -> $zipPath")
           val st = zfs.getFileStatus(zipPath)
           val md = java.security.MessageDigest.getInstance("MD5")
           val zin = zfs.open(zipPath)
@@ -291,12 +364,32 @@ object ZipPublisher {
           (g, name, complete, members.size.toLong, st.getLen, md5hex,
             members.map(_._4).max, manifest)
         }
-      }.collect()
+      }
 
-    if (built.isEmpty) return Seq.empty
+    // crash/retry discipline (zipsynchronizer.py:69-109): zips build first;
+    // the _published state commits BEFORE any destructive step or metadata
+    // write, so a crash in between re-runs against consistent state — the
+    // left_anti prune sees exactly the completed zips. Any failure up to
+    // and including the state append deletes every artifact this run
+    // created (def and end) and re-raises.
+    val built = try {
+      val rows = buildJob.collect()
+      if (rows.isEmpty) return Seq.empty
+      onBuiltForTests(rows.map { case (g, name, complete, n, len, md5v, lastmod, _) =>
+        ZipInfo(g, name, complete, n, len, md5v, lastmod) }.toSeq)
+      // published-state bookkeeping: complete-zip members, written distributed
+      assigned.filter(col("is_complete"))
+        .select(col("resource"), col("zipName").as("zip"))
+        .write.mode("append").parquet(stateDir)
+      rows
+    } catch {
+      case e: Throwable =>
+        cleanupPlanned(f, sinkDir, plannedZips)
+        throw e
+    }
 
-    // driver: sidecar XMLs + per-graph metadata + state bookkeeping (all of
-    // it over the per-ZIP summaries — one row per thousand patch files)
+    // driver: sidecar XMLs + per-graph metadata (all of it over the per-ZIP
+    // summaries — one row per thousand patch files)
     val summaries = scala.collection.mutable.ArrayBuffer.empty[ZipInfo]
     val nowIso = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
@@ -313,7 +406,8 @@ object ZipPublisher {
       }
       summaries += ZipInfo(g, name, complete, n, len, md5v, lastmod)
     }
-    // drop superseded old end parts + sidecars (do_publish tail)
+    // drop superseded old end parts + sidecars (do_publish tail) — only
+    // AFTER the new zips and the state both committed
     supersededEnd.foreach { g =>
       val gDir = new Path(sinkDir, g)
       prevEnd.get(g).foreach { case (oldIdx, _) =>
@@ -324,10 +418,6 @@ object ZipPublisher {
             .foreach(s => f.delete(new Path(gDir, s), false))
       }
     }
-    // published-state bookkeeping: complete-zip members, written distributed
-    assigned.filter(col("is_complete"))
-      .select(col("resource"), col("zipName").as("zip"))
-      .write.mode("append").parquet(stateDir)
 
     // per-graph resource-dump.xml (accumulating: previous defs stay listed)
     summaries.groupBy(_.graph_b64).foreach { case (g, zs) =>
@@ -356,10 +446,32 @@ object ZipPublisher {
     summaries.toSeq
   }
 
-  /** Existing end part per graph: (index, member resource file names). */
+  /** Failed-run cleanup: delete every zip (and sidecars, and any orphaned
+    * .tmpzip temp) the failed run planned, so the next run starts from the
+    * previous consistent sink (zipsynchronizer.py:98-109's clean_up_tmp). */
+  private def cleanupPlanned(f: FileSystem, sinkDir: String,
+                             planned: Seq[(String, String)]): Unit = {
+    planned.foreach { case (g, name) =>
+      val gDir = new Path(sinkDir, g)
+      Seq(s"$name.zip", s"$name.xml", s"manifest_$name.xml")
+        .foreach(s => try f.delete(new Path(gDir, s), false) catch { case _: Exception => })
+      try {
+        if (f.exists(gDir))
+          f.listStatus(gDir).map(_.getPath)
+            .filter(_.getName.contains(".tmpzip"))
+            .foreach(p => f.delete(p, false))
+      } catch { case _: Exception => }
+    }
+  }
+
+  /** Existing end part per graph: (index, member "basename|md5" identity
+    * pairs parsed from the sidecar's rs:md hash attributes — J3 compares
+    * resource AND checksum, zipsynchronizer.py:149-156). */
   private def existingEndParts(spark: SparkSession, sinkDir: String): Map[String, (Int, Set[String])] = {
     val f = fs(spark, sinkDir)
     if (!f.exists(new Path(sinkDir))) return Map.empty
+    val memberRx =
+      """<url><loc>([^<]+)</loc><lastmod>[^<]*</lastmod><rs:md hash="md5:([0-9a-f]+)"""".r
     f.listStatus(new Path(sinkDir)).filter(_.isDirectory).flatMap { d =>
       val ends = f.listStatus(d.getPath)
         .map(_.getPath.getName).filter(n => n.startsWith("part_end_") && n.endsWith(".zip"))
@@ -369,8 +481,8 @@ object ZipPublisher {
         val listPath = new Path(d.getPath, f"part_end_$idx%05d.xml")
         val members: Set[String] =
           if (!f.exists(listPath)) Set.empty
-          else "<loc>([^<]+)</loc>".r.findAllMatchIn(readFile(f, listPath))
-            .map(_.group(1)).toSet
+          else memberRx.findAllMatchIn(readFile(f, listPath))
+            .map(m => m.group(1) + "|" + m.group(2)).toSet
         // stored names are basenames; compare on basenames
         Some(d.getPath.getName -> (idx, members))
       }

@@ -60,6 +60,8 @@ final class QuadLogPipeline(
 
   import spark.implicits._
 
+  graft.Preflight.assertSession(spark) // refuse to run misconfigured
+
   val contrib = new SnapshotStore(spark, s"$root/contrib", numBuckets)
   val facts = new SnapshotStore(spark, s"$root/facts", numBuckets)
   val canon = new SnapshotStore(spark, s"$root/canon", math.min(numBuckets, 8))
@@ -244,7 +246,7 @@ final class QuadLogPipeline(
 
   /** (count, order-independent xxhash64 signature) of a page snapshot —
     * cheap relative to extraction (one column-pruned pass). */
-  private def snapshotFingerprint(pages: Dataset[Page]): (Long, Long) = {
+  private[graft] def snapshotFingerprint(pages: Dataset[Page]): (Long, Long) = {
     val r = pages.toDF().select("url", "warc_ts", "text")
       .agg(count(lit(1)), bit_xor(xxhash64(col("url"), col("warc_ts"), col("text"))))
       .head()
@@ -255,7 +257,7 @@ final class QuadLogPipeline(
     * was immutable for the dump's whole duration. Mirrors the reference's
     * dump invalidation (dump_nquads.sql:75-78: a transaction count change
     * during the dump raises and scraps the dump). */
-  private def assertSnapshotStable(pages: Dataset[Page], fp0: (Long, Long)): Unit = {
+  private[graft] def assertSnapshotStable(pages: Dataset[Page], fp0: (Long, Long)): Unit = {
     val fp1 = snapshotFingerprint(pages)
     if (fp1 != fp0)
       sys.error(s"bootstrap dump INVALID: input snapshot changed during the " +

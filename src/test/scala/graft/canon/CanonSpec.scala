@@ -75,6 +75,41 @@ class CanonicalizerSpec extends GraftSpec {
     assert(canonOf.distinct.size == 4, "distinct entities wrongly merged")
   }
 
+  test("rewrite-join fallback (no broadcast) produces identical output") {
+    // canonRows above broadcastRowLimit forces the shuffle-join path — the
+    // 100 TB shape where the accumulated map can never broadcast
+    val cmap = Seq(("http://kg.example.org/alt/X", "http://kg.example.org/entity/X"))
+      .toDF("id", "canonical")
+    val quads = Seq(
+      ("u1", "http://kg.example.org/alt/X", "http://p", "http://kg.example.org/alt/X", 0, "", "", "http://g"),
+      ("u1", "http://s", "http://p", "lit", 2, "", "", "http://g"))
+      .toDF("url", "s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
+    val viaBroadcast = IriCanonicalizer
+      .canonicalizeAttributed(quads, cmap, canonRows = 1L).collect().toSet
+    val viaShuffle = IriCanonicalizer
+      .canonicalizeAttributed(quads, cmap,
+        canonRows = IriCanonicalizer.broadcastRowLimit + 1).collect().toSet
+    assert(viaBroadcast == viaShuffle && viaBroadcast.nonEmpty)
+  }
+
+  test("extendMap: new-id-restricted verification still merges old-new and bridges") {
+    // old map: {e1,a1} cluster (rep a1); new batch brings alias of e2 AND a
+    // bridge candidate for an old singleton
+    val d = graft.sources.PageGen.dictionary
+    val (e1, e2) = (d(0).iri, d(1).iri)
+    val (a1, a2) = (graft.sources.PageGen.aliasIri(e1), graft.sources.PageGen.aliasIri(e2))
+    val oldMap = IriCanonicalizer.canonicalMap(spark, Seq(e1, a1, e2).toDF("id"))
+    val extended = IriCanonicalizer.extendMap(spark, oldMap, Seq(a2, e1).toDF("id"))
+      .as[(String, String)].collect().toMap
+    assert(extended(e1) == extended(a1), "old cluster preserved")
+    assert(extended(e2) == extended(a2), "NEW alias merged with OLD singleton")
+    assert(extended(e1) != extended(e2), "distinct entities stay apart")
+    // domain unchanged -> map returned as-is (cheap no-op path)
+    val same = IriCanonicalizer.extendMap(spark, oldMap, Seq(e1).toDF("id"))
+      .as[(String, String)].collect().toMap
+    assert(same == oldMap.as[(String, String)].collect().toMap)
+  }
+
   test("canonicalize rewrites subject and IRI-object but not literals") {
     val cmap = Seq(("http://kg.example.org/alt/X", "http://kg.example.org/entity/X"))
       .toDF("id", "canonical")

@@ -142,6 +142,64 @@ class PublishSpec extends GraftSpec {
     assert(!dump2.contains("part_end_00001.zip") && dump2.contains("part_end_00002.zip"))
   }
 
+  test("byte cap: an oversized member forces an early window cut (<=50MB rule)") {
+    val src = tmpDir("pubb_src"); val sink = tmpDir("pubb_sink")
+    // 4 small files + 1 big one; cap chosen so big lands alone in its window
+    (0 until 2).foreach(writePatch(src, _))
+    val dir = Paths.get(src, s"g_b64=$g64")
+    Files.writeString(dir.resolve(f"rdf_out_00000000000000-${2}%014d"),
+      "x" * 5000) // oversized vs the 1KB cap below
+    (3 until 5).foreach(writePatch(src, _))
+    val out = ZipPublisher.publish(spark, src, sink, filesPerZip = 100,
+      maxZipBytes = 1024)
+    // serial order: [0,1] close by bytes? each ~100B -> no; the 5KB file at
+    // serial 2 cannot share a window: [0,1] close when 2 won't fit, [2]
+    // closes alone (>cap), [3,4] stay the provisional end part
+    val names = out.sortBy(_.zipName).map(z => (z.zipName, z.complete, z.nResources))
+    assert(names == Seq(("part_def_00000", true, 2L), ("part_def_00001", true, 1L),
+      ("part_end_00000", false, 2L)), s"got $names")
+  }
+
+  test("J3 with checksums: same-name content change rebuilds the end part") {
+    val src = tmpDir("pubc_src"); val sink = tmpDir("pubc_sink")
+    (0 until 2).foreach(writePatch(src, _))
+    val r1 = ZipPublisher.publish(spark, src, sink, filesPerZip = 10)
+    assert(r1.map(_.zipName) == Seq("part_end_00000"))
+    // unchanged -> idempotent
+    assert(ZipPublisher.publish(spark, src, sink, filesPerZip = 10).isEmpty)
+    // same basename, NEW content -> md5 differs -> rebuild under bumped index
+    Files.writeString(Paths.get(src, s"g_b64=$g64")
+      .resolve(f"rdf_out_00000000000000-${1}%014d"),
+      Fixture.sampleBody(1) + "+ <http://extra> <http://p> <http://o> <http://graph.example.org/g1> .\n")
+    val r3 = ZipPublisher.publish(spark, src, sink, filesPerZip = 10)
+    assert(r3.map(_.zipName) == Seq("part_end_00001"), s"got ${r3.map(_.zipName)}")
+    assert(!exists(s"$sink/$g64/part_end_00000.zip"))
+  }
+
+  test("crash after zips, before state: cleanup leaves a sink the next run republishes from") {
+    val src = tmpDir("pubx_src"); val sink = tmpDir("pubx_sink")
+    (0 until 5).foreach(writePatch(src, _))
+    // fail between zip build and the _published state append
+    val boom = intercept[RuntimeException] {
+      ZipPublisher.publish(spark, src, sink, filesPerZip = 3,
+        onBuiltForTests = _ => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    // every provisional artifact of the failed run is gone
+    val gDir = new java.io.File(s"$sink/$g64")
+    val leftover = Option(gDir.listFiles()).map(_.map(_.getName).toSeq).getOrElse(Seq.empty)
+    assert(!leftover.exists(n => n.endsWith(".zip") || n.contains(".tmpzip")),
+      s"leftover artifacts: $leftover")
+    assert(!new java.io.File(s"$sink/_published").exists())
+    // the re-run publishes the full, correct set
+    val r = ZipPublisher.publish(spark, src, sink, filesPerZip = 3)
+    assert(r.map(_.zipName).sorted == Seq("part_def_00000", "part_end_00000"))
+    assert(exists(s"$sink/$g64/part_def_00000.zip"))
+    assert(exists(s"$sink/$g64/part_end_00000.zip"))
+    // and is idempotent afterwards
+    assert(ZipPublisher.publish(spark, src, sink, filesPerZip = 3).isEmpty)
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }

@@ -195,6 +195,42 @@ class PipelineSpec extends GraftSpec {
       resumed.extractedQuads(s1)).count() == 0)
   }
 
+  test("canon store moves with the commit marker (three-store crash replay)") {
+    import graft.model.Page
+    val root = tmpDir("graft_canon_crash")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = true)
+    def page(host: String, id: String, text: String): Page = {
+      val url = s"https://$host.example.org/page/$id"
+      Page(url, new java.sql.Timestamp(1704067200000L),
+        PageGen.htmlFor(url, text, "en"), text, "en")
+    }
+    val p0 = page("host1", "a", "rembrandt painter art museum")
+    val p1 = page("host3", "b", "rembrandt painter art museum") // alias site
+    pipe.bootstrap(spark.createDataset(Seq(p0)), "e1", "00000000000000")
+    pipe.incremental(1L, "20240102000000",
+      spark.createDataset(Seq(p1)), spark.emptyDataset[String])
+    val want = pipe.currentQuads.collect().toSet
+    assert(pipe.canon.latest.contains(1L))
+
+    // crash window: marker written (it is), NO store finalized — roll all
+    // three pointers back; the staged snap_1 data + manifests stay on disk
+    for (store <- Seq("canon", "facts", "contrib")) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/$store/_latest"), "0")
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$root/$store/._latest.crc"))
+    }
+    val resumed = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = true)
+    val again = resumed.incremental(1L, "20240102000000",
+      spark.createDataset(Seq(p1)), spark.emptyDataset[String])
+    assert(again.added == 0 && again.deleted == 0, "replay then no-op")
+    assert(resumed.canon.latest.contains(1L), "canon pointer must replay with the marker")
+    assert(resumed.currentQuads.collect().toSet == want)
+    // facts state and the replayed canonical map still reconcile
+    assert(QuadDiff.diff(resumed.currentQuads,
+      resumed.extractedQuads(spark.createDataset(Seq(p0, p1)))).count() == 0)
+  }
+
   test("epoch reset (T6): new epoch wipes and re-derives downstream state") {
     val root = tmpDir("graft_epoch")
     val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = false)
