@@ -89,16 +89,27 @@ object PatchWriter {
 
     // pass 2: per-(graph, sub) counts -> first-serial offsets (prefix sum of
     // per-sub file counts over a tiny table: nSubs rows per graph, windowed
-    // per graph => parallel across graphs). No line text is materialized
-    // here — the aggregate only touches the hash/key columns.
-    val counts = keyed.groupBy("g_b64", "sub").agg(count(lit(1)).as("cnt"))
-      .withColumn("nFiles", ceil(col("cnt") / lit(maxq.toDouble)).cast("long"))
-    val offW = Window.partitionBy("g_b64").orderBy("sub")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = timed("patch.offsets") { counts
-      .withColumn("serial0", coalesce(sum("nFiles").over(offW), lit(0L)))
-      .select("g_b64", "sub", "serial0")
-      .localCheckpoint() }
+    // per graph => parallel across graphs). A single-sub graph's offset is
+    // 0 by construction, so this pass scans ONLY the rows of graphs that
+    // genuinely span multiple files — when no graph does (the common small-
+    // batch case), the second full scan disappears entirely.
+    val smallOffsets = gcounts.filter(col("nSubs") === 1)
+      .select(col("g_b64"), lit(0).cast("int").as("sub"), lit(0L).as("serial0"))
+    val bigGraphs = gcounts.filter(col("nSubs") > 1)
+    val offsets = timed("patch.offsets") {
+      (if (bigGraphs.isEmpty) smallOffsets
+       else {
+         val counts = keyed
+           .join(broadcast(bigGraphs.select("g_b64")), Seq("g_b64"), "left_semi")
+           .groupBy("g_b64", "sub").agg(count(lit(1)).as("cnt"))
+           .withColumn("nFiles", ceil(col("cnt") / lit(maxq.toDouble)).cast("long"))
+         val offW = Window.partitionBy("g_b64").orderBy("sub")
+           .rowsBetween(Window.unboundedPreceding, -1)
+         smallOffsets.unionByName(counts
+           .withColumn("serial0", coalesce(sum("nFiles").over(offW), lit(0L)))
+           .select("g_b64", "sub", "serial0"))
+       }).localCheckpoint()
+    }
 
     // pass 3 — THE one full-data exchange: cluster by (graph, sub), sort,
     // stream each sub straight into its final files
