@@ -187,7 +187,8 @@ object ZipPublisher {
               publishUrl: String = "http://example.com/",
               graphIndex: Option[DataFrame] = None,
               maxZipBytes: Long = MaxZipBytes,
-              onBuiltForTests: Seq[ZipInfo] => Unit = _ => ()): Seq[ZipInfo] = {
+              onBuiltForTests: Seq[ZipInfo] => Unit = _ => (),
+              onPublishedForTests: () => Unit = () => ()): Seq[ZipInfo] = {
     import spark.implicits._
     val f = fs(spark, sinkDir)
     f.mkdirs(new Path(sinkDir))
@@ -387,6 +388,10 @@ object ZipPublisher {
         cleanupPlanned(f, sinkDir, plannedZips)
         throw e
     }
+    // beyond this point zips + state are COMMITTED: a crash below leaves a
+    // consistent sink whose metadata the next touching run reconciles
+    // (orphan recovery in the dump-xml regeneration)
+    onPublishedForTests()
 
     // driver: sidecar XMLs + per-graph metadata (all of it over the per-ZIP
     // summaries — one row per thousand patch files)
@@ -428,7 +433,20 @@ object ZipPublisher {
       val removedEnd = prevEnd.get(g).map { case (i, _) => f"part_end_$i%05d" }.toSet
       val keep = already.filterNot(z => removedEnd.contains(z.zipName))
         .filterNot(z => zs.exists(_.zipName == z.zipName))
-      writeFile(f, dumpPath, resourceDumpXml(gUrl, keep ++ zs.toSeq, nowIso))
+      // crash-recovery reconciliation: a def zip ON DISK but listed nowhere
+      // was committed (state appended) by a run that died before its
+      // metadata writes — without this, the re-run prunes its members via
+      // _published and the dump xml stays silently stale. Its row (and a
+      // missing manifest sidecar) re-derive from the zip itself, which
+      // embeds manifest.xml. Rare path: only runs for unlisted leftovers.
+      val listedNames = (keep ++ zs.toSeq).map(_.zipName).toSet
+      val orphans = f.listStatus(gDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("part_def_") && n.endsWith(".zip"))
+        .map(_.stripSuffix(".zip"))
+        .filterNot(listedNames.contains)
+        .toSeq.sorted
+        .map(n => recoverZipInfo(f, gDir, g, n))
+      writeFile(f, dumpPath, resourceDumpXml(gUrl, keep ++ orphans ++ zs.toSeq, nowIso))
       val capaPath = new Path(gDir, "capability-list.xml")
       if (!f.exists(capaPath))
         writeFile(f, capaPath,
@@ -444,6 +462,43 @@ object ZipPublisher {
       sourceDescriptionXml(graphs.toSeq.map(g => s"$publishUrl$g/capability-list.xml")))
 
     summaries.toSeq
+  }
+
+  /** Re-derive a committed-but-unlisted zip's metadata row from the zip
+    * file itself (length/lastmod from the file status, md5 by streaming,
+    * member manifest from the embedded manifest.xml — regenerating the
+    * sidecar if the dying run never wrote it). */
+  private def recoverZipInfo(f: FileSystem, gDir: Path, g: String, name: String): ZipInfo = {
+    val zipPath = new Path(gDir, s"$name.zip")
+    val st = f.getFileStatus(zipPath)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = f.open(zipPath)
+    val buf = new Array[Byte](65536)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    val md5hex = md.digest().map("%02x".format(_)).mkString
+    val lastmod = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(st.getModificationTime))
+    // regenerate the manifest sidecar from the zip's embedded copy if missing
+    val sidecar = new Path(gDir, s"manifest_$name.xml")
+    var nResources = 0L
+    val zin = new java.util.zip.ZipInputStream(f.open(zipPath))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName == "manifest.xml") {
+          val content = new String(
+            org.apache.commons.io.IOUtils.toByteArray(zin), StandardCharsets.UTF_8)
+          nResources = "<url>".r.findAllMatchIn(content).size.toLong
+          if (!f.exists(sidecar)) writeFile(f, sidecar, content)
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    ZipInfo(g, name, complete = true, nResources, st.getLen, md5hex, lastmod)
   }
 
   /** Failed-run cleanup: delete every zip (and sidecars, and any orphaned

@@ -220,28 +220,28 @@ final class QuadLogPipeline(
     val supports = cBack.groupBy(quadCols.map(col): _*)
       .agg(count(lit(1)).as("support"))
       .withColumn("bucket", facts.bucketCol(quadKey: _*))
-    // The facts commit, the bootstrap patch dump and the graph index all
-    // derive from the SAME committed contrib parquet, so they submit
-    // concurrently: each re-runs its (deterministic) aggregation and the
-    // three sinks' serialized write syscalls overlap each other's compute
-    // (sequential phases left the other 31 cores idle during each write —
-    // the measured scaling residual in BENCH.md §Scaling).
+    timed("bootstrap.commitFacts") {
+      facts.commitFull(supports, 0L)
+      facts.setEpoch(epoch)
+    }
+    // Patches dump from the COMMITTED facts parquet (cheap columnar scans —
+    // measured: sourcing it from the `supports` plan re-ran the whole
+    // support aggregation once per PatchWriter pass), overlapped with the
+    // graph-index commit: independent sinks, different directories, so one
+    // sink's serialized write syscalls run under the other's compute
+    // (sequential phases left the other cores idle during each write — the
+    // measured scaling residual in BENCH.md §Scaling).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = sinkEc
-    val patches = supports.select((lit("+").as("op") +: quadCols.map(col)): _*)
-    val fFacts = Future(timed("bootstrap.commitFacts") {
-      facts.commitFull(supports, 0L)
-      facts.setEpoch(epoch)
-    })
+    val sBack = facts.read().get
+    val patches = sBack.select((lit("+").as("op") +: quadCols.map(col)): _*)
     val fFiles = Future(timed("bootstrap.patchFiles") {
       PatchWriter.write(spark, patches, s"$root/patches/batch_0", checkpoint, maxq)
     })
-    val fIdx = Future(updateGraphIndex(cBack, 0L))
-    Await.result(fFacts, Duration.Inf)
+    val fIdx = Future(updateGraphIndex(sBack, 0L))
     val files = Await.result(fFiles, Duration.Inf)
     Await.result(fIdx, Duration.Inf)
-    val sBack = facts.read().get
     val added = sBack.count() // parquet metadata count — no recompute
     // dump-report trailer file (dump_nquads.sql:58-83 / sample fixture)
     val isoNow = java.time.format.DateTimeFormatter

@@ -200,6 +200,31 @@ class PublishSpec extends GraftSpec {
     assert(ZipPublisher.publish(spark, src, sink, filesPerZip = 3).isEmpty)
   }
 
+  test("crash after state, before metadata: next run reconciles orphaned def zips") {
+    val src = tmpDir("pubo_src"); val sink = tmpDir("pubo_sink")
+    (0 until 5).foreach(writePatch(src, _))
+    // crash AFTER zips + _published state committed, BEFORE sidecars/XMLs
+    intercept[RuntimeException] {
+      ZipPublisher.publish(spark, src, sink, filesPerZip = 3,
+        onPublishedForTests = () => throw new RuntimeException("post-state crash"))
+    }
+    assert(exists(s"$sink/$g64/part_def_00000.zip"))
+    assert(exists(s"$sink/_published"))
+    assert(!exists(s"$sink/$g64/resource-dump.xml"), "metadata writes never ran")
+    // the retry republishes the (sidecar-less) end part and must reconcile
+    // the committed-but-unlisted def zip into the dump xml + regenerate its
+    // manifest sidecar from the zip's embedded copy
+    val r = ZipPublisher.publish(spark, src, sink, filesPerZip = 3)
+    assert(r.map(_.zipName) == Seq("part_end_00001"), s"got ${r.map(_.zipName)}")
+    val dump = Files.readString(Paths.get(s"$sink/$g64/resource-dump.xml"))
+    assert(dump.contains("part_def_00000.zip"), "orphaned def zip must be listed")
+    assert(dump.contains("part_end_00001.zip"))
+    assert(exists(s"$sink/$g64/manifest_part_def_00000.xml"), "sidecar regenerated")
+    assert(!exists(s"$sink/$g64/part_end_00000.zip"), "superseded end removed")
+    // steady state afterwards
+    assert(ZipPublisher.publish(spark, src, sink, filesPerZip = 3).isEmpty)
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
