@@ -231,10 +231,35 @@ object IriCanonicalizer {
       .localCheckpoint()
     if (fresh.isEmpty) return oldMap // domain unchanged -> map unchanged
     val ids = oldIds.union(fresh).distinct().localCheckpoint()
-    val edges = verifiedPairs(ids, jaccardThreshold, leftIds = Some(fresh))
-      .unionByName(oldMap.filter(col("id") =!= col("canonical"))
+    val newEdges = verifiedPairs(ids, jaccardThreshold, leftIds = Some(fresh))
+      .localCheckpoint()
+
+    // CC LOCALITY: connected components are local to their subgraph, so
+    // only clusters adjacent to a new edge can change — recompute CC over
+    // (new edges ∪ the old links of exactly those clusters) and carry every
+    // untouched cluster's rows forward verbatim. Per-batch CC cost is then
+    // proportional to the touched subgraph, not the accumulated domain
+    // (the domain-wide work that remains is plain column joins on the map,
+    // which the rewrite join scans anyway).
+    val endpoints = newEdges.select(col("src").as("id"))
+      .union(newEdges.select(col("dst").as("id"))).distinct()
+    val touchedReps = oldMap
+      .join(endpoints, Seq("id"), "left_semi")
+      .select(col("canonical").as("rep")).distinct()
+      .localCheckpoint()
+    val touchedOld = oldMap
+      .join(touchedReps.withColumnRenamed("rep", "canonical"), Seq("canonical"), "left_semi")
+    val untouched = oldMap
+      .join(touchedReps.withColumnRenamed("rep", "canonical"), Seq("canonical"), "left_anti")
+    val touchedIds = touchedOld.select(col("id"))
+      .union(touchedOld.select(col("canonical").as("id")))
+      .union(fresh.select(col("id")))
+      .distinct().localCheckpoint()
+    val edges = newEdges.unionByName(
+      touchedOld.filter(col("id") =!= col("canonical"))
         .select(col("id").as("src"), col("canonical").as("dst")))
-    mapFromEdges(spark, ids, edges)
+    untouched.select("id", "canonical")
+      .unionByName(mapFromEdges(spark, touchedIds, edges))
   }
 
   /** MinHash-LSH blocked + exact-Jaccard verified coreference candidate
