@@ -394,6 +394,24 @@ object SparkEntry {
         aggregate(toks, lit(0), (acc, c) => greatest(acc, length(c))).cast("long").as("max_token_len"))
     }),
 
+    // --- text: quality scoring (punct/upper/subword counts, integer-exact).
+    // The corpus text is punctuation-free by construction, so a gnarly
+    // suffix is appended IDENTICALLY on both engines to exercise the
+    // counters. Subword mirror note: DuckDB's RE2 has no lookarounds, so
+    // the oracle counts (alnum runs + non-alnum chars) — arithmetically
+    // identical to the boundary-split definition.
+    "q_txt_quality" -> ((s, dir) => {
+      val gnarly = concat(col("text"), lit(". End; X? "), upper(col("lang")))
+      TextAnalysis.qualityMetrics(
+          t(s, dir, "documents").withColumn("text", gnarly))
+        .select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_punct").cast("long").as("n_punct"),
+          col("n_upper").cast("long").as("n_upper"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
+    }),
+
     // --- text: language id by marker voting
     "q_txt_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -724,6 +742,17 @@ object SparkEntry {
         |      x -> x IN ('the','a','of','and','to','in','is','de','la','el')))::BIGINT AS n_stopwords,
         |  list_max(list_transform(string_split(text,' '), x -> length(x)))::BIGINT AS max_token_len
         |FROM documents""".stripMargin,
+
+    "q_txt_quality" ->
+      """WITH g AS (SELECT doc_id, text || '. End; X? ' || upper(lang) AS text FROM documents)
+        |SELECT doc_id,
+        |  length(text)::BIGINT AS n_chars,
+        |  len(string_split(text,' '))::BIGINT AS n_tokens,
+        |  (len(string_split_regex(text, '[.,;:!?]')) - 1)::BIGINT AS n_punct,
+        |  length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
+        |  (len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> len(x) > 0))
+        |   + length(regexp_replace(text, '[A-Za-z0-9]', '', 'g')))::BIGINT AS n_subwords
+        |FROM g""".stripMargin,
 
     "q_txt_langid" ->
       """WITH s AS (SELECT doc_id,

@@ -62,6 +62,7 @@ object TextAnalysis {
       .withColumn("n_stopwords",
         size(filter(toks, x => x.isin(stopwords: _*))))
       .withColumn("n_punct", size(split(t, "[\\.,;:!?]")) - 1)
+      .withColumn("n_upper", length(regexp_replace(t, "[^A-Z]", "")))
       .withColumn("max_token_len",
         aggregate(toks, lit(0), (acc, x) => greatest(acc, length(x))))
   }
