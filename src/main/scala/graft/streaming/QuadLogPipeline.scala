@@ -101,11 +101,6 @@ final class QuadLogPipeline(
     pageContributions(pages).drop("url", "bucket")
       .dropDuplicates(quadCols)
 
-  // intermediate caches of the current batch, dropped at batch end
-  private val scratch = scala.collection.mutable.Buffer.empty[DataFrame]
-  private def scratchCache(df: DataFrame): DataFrame = { scratch += df.cache(); df }
-  private def dropScratch(): Unit = { scratch.foreach(_.unpersist()); scratch.clear() }
-
   /** Candidate entity IRIs of a quad batch: one scan, s and IRI-objects
     * exploded together (a union of two projections would extract twice). */
   private def candidateIris(quads: DataFrame): DataFrame =
@@ -144,8 +139,6 @@ final class QuadLogPipeline(
     // NOT cached: extraction is a narrow, CPU-bound, re-runnable pass; RAM-
     // caching 10^6+ deserialized rows costs more (alloc + GC bandwidth) than
     // recomputing, and at real scale caching the corpus is impossible anyway.
-    // (The batch entry points below instead materialize ONE extraction pass
-    // to scratch parquet — see materializedRaw.)
     val quads = graft.extract.TypedExtractor.pageQuads(pages.toDF())
     val out =
       if (!canonicalize) quads
@@ -252,7 +245,6 @@ final class QuadLogPipeline(
       quadCount = added, fileCount = files)
     writeLineage(epoch, 0L, pages, added, 0L, files)
     assertSnapshotStable(pages, fp0) // A4: invalidate on input drift
-    dropScratch()
     BatchResult(0L, added, 0L, files)
   }
 
@@ -432,7 +424,7 @@ final class QuadLogPipeline(
     facts.finalizeCommit(batchId)
     contrib.finalizeCommit(batchId)
 
-    touchedUrls.unpersist(); dropScratch()
+    touchedUrls.unpersist()
     BatchResult(batchId, added, deleted, files)
   }
 
