@@ -192,7 +192,7 @@ final class QuadLogPipeline(
     // input snapshot BEFORE the dump; re-checked after commit — a drifting
     // source (concurrent inserts/deletes during the multi-pass dump)
     // invalidates the dump loudly instead of committing a torn snapshot.
-    val fp0 = snapshotFingerprint(pages)
+    val fp0 = timed("bootstrap.fingerprint")(snapshotFingerprint(pages))
     val raw = rawQuads(pages)
     val contribData =
       if (!canonicalize) raw
@@ -361,15 +361,17 @@ final class QuadLogPipeline(
       .agg(sum("w").as("d"))
       .filter(col("d") =!= 0L)
       .withColumn("bucket", facts.bucketCol(quadKey: _*))
-      .localCheckpoint() // small net-delta set; cuts the extraction lineage
+    val dC = timed("incr.delta") {
+      d.localCheckpoint() // small net-delta set; cuts the extraction lineage
+    }
 
     val factBuckets = timed("incr.factBuckets") {
-      d.select("bucket").distinct().as[Int].collect().toSeq.sorted
+      dC.select("bucket").distinct().as[Int].collect().toSeq.sorted
     }
     val oldFacts = facts.readBuckets(factBuckets)
-      .getOrElse(d.limit(0).drop("d").withColumn("support", lit(0L)))
+      .getOrElse(dC.limit(0).drop("d").withColumn("support", lit(0L)))
     val (patches0, newFactRows) = QuadDiff.supportTransition(
-      oldFacts.drop("bucket"), d.drop("bucket"))
+      oldFacts.drop("bucket"), dC.drop("bucket"))
     val patchesC = patches0.localCheckpoint() // small; read by write + tally
 
     val keptOld = oldInBuckets match {
