@@ -345,6 +345,15 @@ object SparkEntry {
         .withColumn("jaccard_x1e4", fx4(col("jaccard"))).drop("jaccard")
     }),
 
+    // --- dedup: full near-dup CLUSTERING composition — verified pairs ->
+    // connected components -> cluster label (min doc id, string order,
+    // matching the CC contract); certifies Dedup.clusters end-to-end
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3,
+        threshold = 0.05, maxBucket = 64)
+      Dedup.clusters(s, pairs).select(col("id"), col("component"))
+    }),
+
     // --- dedup: embedding-cosine near-dup pairs (seeded-hyperplane blocked,
     // maxBucket-capped — no label column needed; real corpora have none)
     "q_dedup_embed_cosine" -> ((s, dir) => {
@@ -682,6 +691,29 @@ object SparkEntry {
         |SELECT a, b, floor(inter::DOUBLE / (sa.n_toks + sb.n_toks - inter) * 10000 + 0.5)::BIGINT AS jaccard_x1e4
         |FROM common JOIN sizes sa ON common.a = sa.doc_id JOIN sizes sb ON common.b = sb.doc_id
         |WHERE inter::DOUBLE / (sa.n_toks + sb.n_toks - inter) >= 0.05""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(1, greatest(len(string_split(text,' '))-2,0)+1),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]),
+        |    x -> len(x) > 0)) AS toks FROM documents),
+        |t2 AS (SELECT * FROM t WHERE len(toks) > 0),
+        |sizes AS (SELECT doc_id, len(toks)::BIGINT AS n_toks FROM t2),
+        |ex AS (SELECT doc_id, unnest(toks) AS sh FROM t2),
+        |rare AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= 64),
+        |pruned AS (SELECT ex.doc_id, ex.sh FROM ex JOIN rare USING (sh)),
+        |common AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS inter
+        |  FROM pruned l JOIN pruned r ON l.sh = r.sh AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a::VARCHAR AS a, b::VARCHAR AS b
+        |  FROM common JOIN sizes sa ON common.a = sa.doc_id JOIN sizes sb ON common.b = sb.doc_id
+        |  WHERE inter::DOUBLE / (sa.n_toks + sb.n_toks - inter) >= 0.05),
+        |und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM und
+        |  UNION
+        |  SELECT reach.id, u.dst FROM reach JOIN und u ON reach.r = u.src)
+        |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id""".stripMargin,
 
     "q_dedup_embed_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
