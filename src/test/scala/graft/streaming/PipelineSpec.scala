@@ -195,6 +195,40 @@ class PipelineSpec extends GraftSpec {
       resumed.extractedQuads(s1)).count() == 0)
   }
 
+  test("degenerate batch shapes: no-op, pure-delete, pure-add all reconcile") {
+    val root = tmpDir("graft_soak")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = true)
+    val s0 = PageGen.snapshot(spark, 40, 0)
+    pipe.bootstrap(s0, "e1", "00000000000000")
+
+    // batch 1: NOTHING changed — must commit as an explicit empty batch
+    val r1 = pipe.incremental(1L, "20240102000000",
+      s0.limit(0), spark.emptyDataset[String])
+    assert(r1.added == 0 && r1.deleted == 0)
+    assert(pipe.facts.latest.contains(1L), "empty batches still advance the store")
+    assert(QuadDiff.diff(pipe.currentQuads, pipe.extractedQuads(s0)).count() == 0)
+
+    // batch 2: PURE DELETE of a third of the corpus
+    val dropped = s0.collect().map(_.url).sorted.take(13).toSeq
+    val kept = s0.filter(p => !dropped.contains(p.url))
+    val r2 = pipe.incremental(2L, "20240103000000",
+      s0.limit(0), spark.createDataset(dropped))
+    assert(r2.deleted > 0 && r2.added == 0)
+    assert(QuadDiff.diff(pipe.currentQuads, pipe.extractedQuads(kept)).count() == 0)
+
+    // batch 3: PURE ADD of brand-new pages (urls outside the snapshot)
+    val added = PageGen.snapshot(spark, 60, 0)
+      .filter(p => p.url.substring(p.url.lastIndexOf('/') + 1).toLong >= 40L)
+    val r3 = pipe.incremental(3L, "20240104000000", added, spark.emptyDataset[String])
+    assert(r3.added > 0)
+    val want = kept.union(added)
+    assert(QuadDiff.diff(pipe.currentQuads, pipe.extractedQuads(want)).count() == 0)
+
+    // idempotent re-run of the final batch
+    val again = pipe.incremental(3L, "20240104000000", added, spark.emptyDataset[String])
+    assert(again.added == 0 && again.deleted == 0)
+  }
+
   test("canon store moves with the commit marker (three-store crash replay)") {
     import graft.model.Page
     val root = tmpDir("graft_canon_crash")
