@@ -88,9 +88,11 @@ object Micro {
       .filter(col("id").startsWith("http://kg.example.org/")).distinct()
     time("iris localCheckpoint")(iris.localCheckpoint().count())
     val cmap = time("canonicalMap")(
-      graft.canon.IriCanonicalizer.canonicalMap(spark, iris.localCheckpoint()))
+      graft.canon.IriCanonicalizer.canonicalMap(spark, iris.localCheckpoint())
+        .localCheckpoint())
+    val cmapRows = cmap.count() // real size for the broadcast gate
     time("canonicalize+count")(
-      graft.canon.IriCanonicalizer.canonicalizeAttributed(qc, cmap).count())
+      graft.canon.IriCanonicalizer.canonicalizeAttributed(qc, cmap, cmapRows).count())
     val out = java.nio.file.Files.createTempDirectory("micro").toString
     time("write 32 buckets")(
       qc.withColumn("bucket", pmod(xxhash64(col("url")), lit(32)).cast("int"))

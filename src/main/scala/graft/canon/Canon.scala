@@ -310,9 +310,12 @@ object IriCanonicalizer {
   private def maybeBroadcast(canon: DataFrame, canonRows: Long): DataFrame =
     if (canonRows >= 0 && canonRows <= broadcastRowLimit) broadcast(canon) else canon
 
-  /** [[canonicalize]] for url-attributed contribution rows (keeps `url`). */
+  /** [[canonicalize]] for url-attributed contribution rows (keeps `url`).
+    * `canonRows` defaults to -1 (= unknown) so the default can never
+    * broadcast an unsized map — callers that want the broadcast fast path
+    * must pass a real count. */
   def canonicalizeAttributed(quads: DataFrame, canon: DataFrame,
-                             canonRows: Long = 0L): DataFrame = {
+                             canonRows: Long = -1L): DataFrame = {
     val cm = maybeBroadcast(canon, canonRows)
     quads
       .join(cm.withColumnRenamed("id", "s").withColumnRenamed("canonical", "sCanon"),
@@ -329,9 +332,12 @@ object IriCanonicalizer {
       .dropDuplicates("url", "s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
   }
 
-  /** Rewrite quad subject/object IRIs through the canonical map. */
-  def canonicalize(quads: DataFrame, canon: DataFrame): DataFrame = {
-    val cm = broadcast(canon)
+  /** Rewrite quad subject/object IRIs through the canonical map.
+    * Same size-gated broadcast rule as [[canonicalizeAttributed]]: the
+    * default `canonRows = -1` (unknown) never broadcasts. */
+  def canonicalize(quads: DataFrame, canon: DataFrame,
+                   canonRows: Long = -1L): DataFrame = {
+    val cm = maybeBroadcast(canon, canonRows)
     quads
       .join(cm.withColumnRenamed("id", "s").withColumnRenamed("canonical", "sCanon"),
         Seq("s"), "left")

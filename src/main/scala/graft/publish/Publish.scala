@@ -92,6 +92,11 @@ object ZipPublisher {
     * this many member bytes, whichever comes first. */
   val MaxZipBytes: Long = 50L * 1024 * 1024
 
+  /** Sitemap community item cap (syncdirector.py:53-55 `max_items_in_list`):
+    * a resource-dump.xml may list at most this many zips; past it the
+    * document splits into a resourcedump-index over ≤-cap chunk documents. */
+  val MaxItemsInList: Int = 50000
+
   private val XmlNs =
     """xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" xmlns:rs="http://www.openarchives.org/rs/terms/""""
 
@@ -142,6 +147,23 @@ object ZipPublisher {
        |</urlset>""".stripMargin
   }
 
+  /** resourcedump-index (sitemap-index layering, syncdirector.py:53-55):
+    * when a graph has published more zips than `max_items_in_list`, the
+    * top resource-dump.xml becomes a `<sitemapindex>` whose `<sitemap>`
+    * entries point at ≤-cap chunk documents (each an ordinary
+    * resourcedump urlset). */
+  def resourceDumpIndexXml(publishUrl: String, chunkNames: Seq[String], at: String): String = {
+    val maps = chunkNames.sorted.map { n =>
+      s"""  <sitemap><loc>$publishUrl$n</loc></sitemap>"""
+    }.mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<sitemapindex $XmlNs>
+       |  <rs:ln rel="up" href="${publishUrl}capability-list.xml"/>
+       |  <rs:md capability="resourcedump" at="$at"/>
+       |$maps
+       |</sitemapindex>""".stripMargin
+  }
+
   def capabilityListXml(publishUrl: String, srcDescUrl: String): String =
     s"""<?xml version="1.0" encoding="UTF-8"?>
        |<urlset $XmlNs>
@@ -187,6 +209,7 @@ object ZipPublisher {
               publishUrl: String = "http://example.com/",
               graphIndex: Option[DataFrame] = None,
               maxZipBytes: Long = MaxZipBytes,
+              maxItemsInList: Int = MaxItemsInList,
               onBuiltForTests: Seq[ZipInfo] => Unit = _ => (),
               onPublishedForTests: () => Unit = () => ()): Seq[ZipInfo] = {
     import spark.implicits._
@@ -229,30 +252,35 @@ object ZipPublisher {
       .as[(String, String, String, Long, String)]
       .mapPartitions { it =>
         val buf = it.buffered
-        val perGraph = new Iterator[Seq[WindowedFile]] {
+        // each next() cuts and yields ONE window, so the task buffers at
+        // most `filesPerZip` rows regardless of how many files a hot graph
+        // has — a 10^12-doc graph's inventory never materializes in one task
+        val windows = new Iterator[Seq[WindowedFile]] {
+          private var curGraph: String = _
+          private var batch = 0L
           def hasNext: Boolean = buf.hasNext
           def next(): Seq[WindowedFile] = {
             val g = buf.head._1
-            val out = scala.collection.mutable.ArrayBuffer.empty[WindowedFile]
+            if (g != curGraph) { curGraph = g; batch = 0L }
             val cur = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, String)]
-            var batch = 0L
             var bytes = 0L
-            def close(complete: Boolean): Unit = {
-              out ++= cur.map { case (res, m, len, lm) =>
-                WindowedFile(g, res, m, len, lm, batch, complete) }
-              cur.clear(); bytes = 0L; batch += 1
+            var closedFull = false
+            while (!closedFull && buf.hasNext && buf.head._1 == g) {
+              val r = buf.head
+              if (cur.nonEmpty && bytes + r._4 > mzb) closedFull = true // r starts the NEXT window
+              else {
+                buf.next()
+                cur += ((r._2, r._3, r._4, r._5)); bytes += r._4
+                if (cur.size >= fpz || bytes >= mzb) closedFull = true
+              }
             }
-            while (buf.hasNext && buf.head._1 == g) {
-              val r = buf.next()
-              if (cur.nonEmpty && bytes + r._4 > mzb) close(true)
-              cur += ((r._2, r._3, r._4, r._5)); bytes += r._4
-              if (cur.size >= fpz || bytes >= mzb) close(true)
-            }
-            if (cur.nonEmpty) close(false)
+            val out = cur.map { case (res, m, len, lm) =>
+              WindowedFile(g, res, m, len, lm, batch, closedFull) }
+            batch += 1
             out.toSeq
           }
         }
-        perGraph.flatten
+        windows.flatten
       }
       .toDF()
       .localCheckpoint() // consumed 3x below (end check, naming, zip build)
@@ -398,10 +426,6 @@ object ZipPublisher {
     val summaries = scala.collection.mutable.ArrayBuffer.empty[ZipInfo]
     val nowIso = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
-    // a graph whose previous end part was superseded this run (rebuilt
-    // changed, or its members got absorbed into complete zips)
-    val touchedGraphs = built.map(_._1).toSet
-    val supersededEnd: Set[String] = touchedGraphs.filter(prevEnd.contains)
     built.foreach { case (g, name, complete, n, len, md5v, lastmod, manifest) =>
       val gDir = new Path(sinkDir, g)
       writeFile(f, new Path(gDir, s"manifest_$name.xml"), manifest)
@@ -411,27 +435,19 @@ object ZipPublisher {
       }
       summaries += ZipInfo(g, name, complete, n, len, md5v, lastmod)
     }
-    // drop superseded old end parts + sidecars (do_publish tail) — only
-    // AFTER the new zips and the state both committed
-    supersededEnd.foreach { g =>
-      val gDir = new Path(sinkDir, g)
-      prevEnd.get(g).foreach { case (oldIdx, _) =>
-        val old = f"part_end_$oldIdx%05d"
-        // never delete a zip this run just re-created under the same name
-        if (!summaries.exists(z => z.graph_b64 == g && z.zipName == old))
-          Seq(s"$old.zip", s"$old.xml", s"manifest_$old.xml")
-            .foreach(s => f.delete(new Path(gDir, s), false))
-      }
-    }
 
     // per-graph resource-dump.xml (accumulating: previous defs stay listed)
     summaries.groupBy(_.graph_b64).foreach { case (g, zs) =>
       val gDir = new Path(sinkDir, g)
       val gUrl = s"$publishUrl$g/"
-      val dumpPath = new Path(gDir, "resource-dump.xml")
-      val already: Seq[ZipInfo] = if (f.exists(dumpPath)) parseDumpZips(readFile(f, dumpPath), g) else Seq.empty
-      val removedEnd = prevEnd.get(g).map { case (i, _) => f"part_end_$i%05d" }.toSet
-      val keep = already.filterNot(z => removedEnd.contains(z.zipName))
+      val already: Seq[ZipInfo] = readDump(f, gDir, g)
+      // EVERY listed end part is provisional by definition: this run
+      // recomputed the full unpublished inventory, so an end entry it did
+      // not re-emit is superseded (not just prevEnd's max index — a crash
+      // between a past run's state append and its metadata tail can leave
+      // older part_end_K entries behind; carrying them forward would show
+      // consumers a stale end zip forever)
+      val keep = already.filter(_.complete)
         .filterNot(z => zs.exists(_.zipName == z.zipName))
       // crash-recovery reconciliation: a def zip ON DISK but listed nowhere
       // was committed (state appended) by a run that died before its
@@ -446,12 +462,18 @@ object ZipPublisher {
         .filterNot(listedNames.contains)
         .toSeq.sorted
         .map(n => recoverZipInfo(f, gDir, g, n))
-      writeFile(f, dumpPath, resourceDumpXml(gUrl, keep ++ orphans ++ zs.toSeq, nowIso))
+      writeDump(f, gDir, gUrl, keep ++ orphans ++ zs.toSeq, nowIso, maxItemsInList)
       val capaPath = new Path(gDir, "capability-list.xml")
       if (!f.exists(capaPath))
         writeFile(f, capaPath,
           capabilityListXml(gUrl, s"$publishUrl.well-known/resourcesync"))
     }
+
+    // stale-end sweep over EVERY graph dir (not just this run's): delete
+    // superseded part_end zips/sidecars and repair any dump xml whose end
+    // entries disagree with the on-disk current end — the do_publish tail,
+    // hardened against crashes in past runs' metadata windows.
+    sweepStaleEnds(f, sinkDir, publishUrl, summaries.toSeq, nowIso, maxItemsInList)
 
     // top-level source description over every graph dir with a capability list
     val graphs = f.listStatus(new Path(sinkDir)).filter(_.isDirectory)
@@ -464,11 +486,105 @@ object ZipPublisher {
     summaries.toSeq
   }
 
+  /** Write a graph's resource dump metadata, splitting into a
+    * resourcedump-index + ≤`maxItems` chunk documents past the sitemap
+    * community item cap (syncdirector.py:53-55). Chunk files are named
+    * `resource-dump-%05d.xml`; the top `resource-dump.xml` is either the
+    * single urlset (common case) or the `<sitemapindex>` over the chunks.
+    * Stale chunk files from a previous (larger or differently-split) write
+    * are removed so a reader never sees orphaned chunks. */
+  private def writeDump(f: FileSystem, gDir: Path, gUrl: String,
+                        zips: Seq[ZipInfo], at: String, maxItems: Int): Unit = {
+    val sorted = zips.sortBy(_.zipName)
+    val chunkNames: Seq[String] =
+      if (sorted.size <= maxItems) Seq.empty
+      else sorted.grouped(maxItems).zipWithIndex.map { case (chunk, i) =>
+        val n = f"resource-dump-$i%05d.xml"
+        writeFile(f, new Path(gDir, n), resourceDumpXml(gUrl, chunk, at))
+        n
+      }.toSeq
+    // drop chunks beyond this write's count (shrink/regroup leftovers)
+    if (f.exists(gDir))
+      f.listStatus(gDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("resource-dump-") && n.endsWith(".xml"))
+        .filterNot(chunkNames.contains)
+        .foreach(n => f.delete(new Path(gDir, n), false))
+    val top =
+      if (chunkNames.isEmpty) resourceDumpXml(gUrl, sorted, at)
+      else resourceDumpIndexXml(gUrl, chunkNames, at)
+    writeFile(f, new Path(gDir, "resource-dump.xml"), top)
+  }
+
+  /** Read a graph's published zip rows back, transparently following the
+    * sitemapindex layering ([[writeDump]]'s inverse). */
+  private def readDump(f: FileSystem, gDir: Path, g: String): Seq[ZipInfo] = {
+    val dumpPath = new Path(gDir, "resource-dump.xml")
+    if (!f.exists(dumpPath)) return Seq.empty
+    val top = readFile(f, dumpPath)
+    if (!top.contains("<sitemapindex")) parseDumpZips(top, g)
+    else {
+      val chunkRx = """<sitemap><loc>[^<]*/([^/<]+\.xml)</loc></sitemap>""".r
+      chunkRx.findAllMatchIn(top).map(_.group(1)).toSeq.flatMap { n =>
+        val p = new Path(gDir, n)
+        if (f.exists(p)) parseDumpZips(readFile(f, p), g) else Seq.empty
+      }
+    }
+  }
+
+  /** Delete every superseded on-disk `part_end_` zip (anything that is not
+    * the graph's CURRENT end part) and repair dump xmls whose end entries
+    * disagree with disk. Runs over every graph dir each publish: past
+    * crashes between a state append and the metadata tail can strand stale
+    * end zips for graphs the current run does not otherwise touch. */
+  private def sweepStaleEnds(f: FileSystem, sinkDir: String, publishUrl: String,
+                             summaries: Seq[ZipInfo], at: String,
+                             maxItems: Int): Unit = {
+    val sinkPath = new Path(sinkDir)
+    if (!f.exists(sinkPath)) return
+    val touched = summaries.map(_.graph_b64).toSet
+    f.listStatus(sinkPath).filter(_.isDirectory).map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .foreach { gDir =>
+        val g = gDir.getName
+        val ends = f.listStatus(gDir).map(_.getPath.getName)
+          .filter(n => n.startsWith("part_end_") && n.endsWith(".zip"))
+          .map(_.stripSuffix(".zip")).toSeq
+        // current end: what this run just published for a touched graph
+        // (possibly none — the old end got absorbed into complete zips);
+        // the max index for an untouched graph
+        val current: Option[String] =
+          if (touched.contains(g))
+            summaries.collectFirst { case z if z.graph_b64 == g && !z.complete => z.zipName }
+          else if (ends.nonEmpty)
+            Some(ends.maxBy(_.stripPrefix("part_end_").toInt))
+          else None
+        ends.filterNot(current.contains).foreach { n =>
+          Seq(s"$n.zip", s"$n.xml", s"manifest_$n.xml")
+            .foreach(s => f.delete(new Path(gDir, s), false))
+        }
+        // dump repair only off the touched path (touched graphs' xml was
+        // just rewritten consistently above)
+        if (!touched.contains(g)) {
+          val listed = readDump(f, gDir, g)
+          if (listed.nonEmpty) {
+            val endListed = listed.filterNot(_.complete).map(_.zipName).toSet
+            if (endListed != current.toSet) {
+              val defs = listed.filter(_.complete)
+              val cur = current.toSeq
+                .map(n => recoverZipInfo(f, gDir, g, n, complete = false))
+              writeDump(f, gDir, s"$publishUrl$g/", defs ++ cur, at, maxItems)
+            }
+          }
+        }
+      }
+  }
+
   /** Re-derive a committed-but-unlisted zip's metadata row from the zip
     * file itself (length/lastmod from the file status, md5 by streaming,
     * member manifest from the embedded manifest.xml — regenerating the
     * sidecar if the dying run never wrote it). */
-  private def recoverZipInfo(f: FileSystem, gDir: Path, g: String, name: String): ZipInfo = {
+  private def recoverZipInfo(f: FileSystem, gDir: Path, g: String, name: String,
+                             complete: Boolean = true): ZipInfo = {
     val zipPath = new Path(gDir, s"$name.zip")
     val st = f.getFileStatus(zipPath)
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -494,11 +610,14 @@ object ZipPublisher {
             org.apache.commons.io.IOUtils.toByteArray(zin), StandardCharsets.UTF_8)
           nResources = "<url>".r.findAllMatchIn(content).size.toLong
           if (!f.exists(sidecar)) writeFile(f, sidecar, content)
+          // an end part also carries the member-list sidecar (write_list)
+          val listSidecar = new Path(gDir, s"$name.xml")
+          if (!complete && !f.exists(listSidecar)) writeFile(f, listSidecar, content)
         }
         e = zin.getNextEntry
       }
     } finally zin.close()
-    ZipInfo(g, name, complete = true, nResources, st.getLen, md5hex, lastmod)
+    ZipInfo(g, name, complete, nResources, st.getLen, md5hex, lastmod)
   }
 
   /** Failed-run cleanup: delete every zip (and sidecars, and any orphaned

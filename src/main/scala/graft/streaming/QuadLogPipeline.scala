@@ -233,9 +233,19 @@ final class QuadLogPipeline(
       PatchWriter.write(spark, patches, s"$root/patches/batch_0", checkpoint, maxq)
     })
     val fIdx = Future(updateGraphIndex(sBack, 0L))
-    val files = Await.result(fFiles, Duration.Inf)
-    Await.result(fIdx, Duration.Inf)
+    val (rFiles, rIdx) =
+      (scala.util.Try(Await.result(fFiles, Duration.Inf)),
+        scala.util.Try(Await.result(fIdx, Duration.Inf)))
+    Seq(rFiles, rIdx).collectFirst { case scala.util.Failure(e) => throw e }
+    val files = rFiles.get
     val added = sBack.count() // parquet metadata count — no recompute
+    // A4: re-check the fingerprint BEFORE any completion artifact exists —
+    // the dump-report trailer is what tells external patch consumers the
+    // dump is done (dump_nquads.sql:75-78 invalidates before declaring
+    // complete), so a torn snapshot must raise while the trailer and
+    // lineage are still absent. The store commits above are internal state
+    // a re-run overwrites; the trailer is the externally visible contract.
+    assertSnapshotStable(pages, fp0)
     // dump-report trailer file (dump_nquads.sql:58-83 / sample fixture)
     val isoNow = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
@@ -244,7 +254,6 @@ final class QuadLogPipeline(
       completed = isoNow.format(java.time.Instant.now()),
       quadCount = added, fileCount = files)
     writeLineage(epoch, 0L, pages, added, 0L, files)
-    assertSnapshotStable(pages, fp0) // A4: invalidate on input drift
     BatchResult(0L, added, 0L, files)
   }
 
@@ -405,10 +414,19 @@ final class QuadLogPipeline(
           .unionByName(newSide.join(deletedUrls.toDF("url"), Seq("url"), "left_anti")),
         affectedBuckets, batchId)
     })
-    val files = Await.result(fFiles, Duration.Inf)
-    Await.result(fIdx, Duration.Inf)
-    Await.result(fFacts, Duration.Inf)
-    Await.result(fContrib, Duration.Inf)
+    // Await EVERY sink to settle before surfacing any failure: a rethrow
+    // while sibling futures still run would let their zombie write jobs
+    // race an immediate same-batchId retry's staging dirs and patch files.
+    // Each Await below blocks until that future settles (success or
+    // failure), so by the time the first failure is rethrown no sink job
+    // from this attempt is still in flight.
+    val rFiles = scala.util.Try(Await.result(fFiles, Duration.Inf))
+    val rIdx = scala.util.Try(Await.result(fIdx, Duration.Inf))
+    val rFacts = scala.util.Try(Await.result(fFacts, Duration.Inf))
+    val rContrib = scala.util.Try(Await.result(fContrib, Duration.Inf))
+    Seq(rFiles, rIdx, rFacts, rContrib)
+      .collectFirst { case scala.util.Failure(e) => throw e }
+    val files = rFiles.get
 
     // one job for both tallies (checkpointed patches)
     val tallies = patchesC.groupBy("op").count().collect()

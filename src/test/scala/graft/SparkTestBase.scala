@@ -22,4 +22,16 @@ abstract class GraftSpec extends AnyFunSuite with BeforeAndAfterAll {
   override protected def afterAll(): Unit = { /* shared session: keep alive */ }
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Run `body` with SQL confs temporarily set, restoring priors after. */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val priors = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally priors.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }

@@ -92,6 +92,31 @@ class CanonicalizerSpec extends GraftSpec {
     assert(viaBroadcast == viaShuffle && viaBroadcast.nonEmpty)
   }
 
+  test("default canonRows (unknown size) NEVER plans a broadcast join") {
+    // the map's true size is unknown at the default call sites — guessing a
+    // broadcast is the canonical 100 TB driver-OOM; both public rewrite
+    // entry points must fall back to shuffle joins by default
+    val cmap = Seq(("http://kg.example.org/alt/X", "http://kg.example.org/entity/X"))
+      .toDF("id", "canonical")
+    val quads = Seq(
+      ("u1", "http://kg.example.org/alt/X", "http://p", "lit", 2, "", "", "http://g"))
+      .toDF("url", "s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
+    // defeat Spark's own size-estimation auto-broadcast so the plan reflects
+    // only OUR hint (tiny literal frames would otherwise auto-broadcast)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val attributed = IriCanonicalizer.canonicalizeAttributed(quads, cmap)
+        .queryExecution.executedPlan.toString
+      val plain = IriCanonicalizer.canonicalize(quads.drop("url"), cmap)
+        .queryExecution.executedPlan.toString
+      assert(!attributed.contains("BroadcastHashJoin"), attributed)
+      assert(!plain.contains("BroadcastHashJoin"), plain)
+      // and a real count DOES broadcast (the fast path still exists)
+      val sized = IriCanonicalizer.canonicalizeAttributed(quads, cmap, canonRows = 1L)
+        .queryExecution.executedPlan.toString
+      assert(sized.contains("BroadcastHashJoin"), sized)
+    }
+  }
+
   test("extendMap: new-id-restricted verification still merges old-new and bridges") {
     // old map: {e1,a1} cluster (rep a1); new batch brings alias of e2 AND a
     // bridge candidate for an old singleton

@@ -225,6 +225,107 @@ class PublishSpec extends GraftSpec {
     assert(ZipPublisher.publish(spark, src, sink, filesPerZip = 3).isEmpty)
   }
 
+  test("sitemap-index layering: >max_items_in_list zips split into resourcedump-index + chunks") {
+    val src = tmpDir("pubi_src"); val sink = tmpDir("pubi_sink")
+    // filesPerZip=1 -> every window complete -> one def zip per patch file
+    (0 until 7).foreach(writePatch(src, _))
+    val r1 = ZipPublisher.publish(spark, src, sink, filesPerZip = 1,
+      maxItemsInList = 3)
+    assert(r1.size == 7 && r1.forall(_.complete))
+    val top = Files.readString(Paths.get(s"$sink/$g64/resource-dump.xml"))
+    assert(top.contains("<sitemapindex"), "7 zips > cap 3 must produce an index")
+    assert(top.contains("capability=\"resourcedump\""))
+    val chunkNames = (0 until 3).map(i => f"resource-dump-$i%05d.xml")
+    chunkNames.foreach(n => assert(exists(s"$sink/$g64/$n"), s"missing chunk $n"))
+    assert(!exists(s"$sink/$g64/resource-dump-00003.xml"))
+    // consumer-side parse: index -> chunks -> the full zip list, no dups
+    val locRx = """<sitemap><loc>[^<]*/([^/<]+\.xml)</loc></sitemap>""".r
+    val listedChunks = locRx.findAllMatchIn(top).map(_.group(1)).toSeq
+    assert(listedChunks.sorted == chunkNames.sorted)
+    val zipRx = """<loc>[^<]*/([^/<]+\.zip)</loc>""".r
+    val members = listedChunks.flatMap { n =>
+      val xml = Files.readString(Paths.get(s"$sink/$g64/$n"))
+      assert(xml.contains("capability=\"resourcedump\"") && !xml.contains("<sitemapindex"))
+      val zs = zipRx.findAllMatchIn(xml).map(_.group(1)).toSeq
+      assert(zs.size <= 3, s"chunk $n over cap: $zs")
+      zs
+    }
+    assert(members.sorted == (0 until 7).map(i => f"part_def_$i%05d.zip").sorted)
+
+    // evolution: two more files -> 9 zips -> chunks regrow/regroup cleanly
+    (7 until 9).foreach(writePatch(src, _))
+    val r2 = ZipPublisher.publish(spark, src, sink, filesPerZip = 1,
+      maxItemsInList = 3)
+    assert(r2.size == 2)
+    val top2 = Files.readString(Paths.get(s"$sink/$g64/resource-dump.xml"))
+    val members2 = locRx.findAllMatchIn(top2).map(_.group(1)).toSeq.flatMap { n =>
+      zipRx.findAllMatchIn(Files.readString(Paths.get(s"$sink/$g64/$n"))).map(_.group(1))
+    }
+    assert(members2.sorted == (0 until 9).map(i => f"part_def_$i%05d.zip").sorted)
+    assert(members2.distinct.size == members2.size, "duplicate entries after evolution")
+  }
+
+  test("crash after state with a PRIOR end part: the older superseded end is purged too") {
+    val src = tmpDir("pubp_src"); val sink = tmpDir("pubp_sink")
+    // run 1 (clean): 2 files -> part_end_00000 with full metadata
+    (0 until 2).foreach(writePatch(src, _))
+    assert(ZipPublisher.publish(spark, src, sink, filesPerZip = 3)
+      .map(_.zipName) == Seq("part_end_00000"))
+    // run 2: 2 more files (4 total -> def_00000 + end_00001) crashes AFTER
+    // the state append, BEFORE the metadata tail — the window the r3 advice
+    // flagged: prevEnd on retry only sees the max end index (00001), so
+    // part_end_00000 used to leak forever
+    (2 until 4).foreach(writePatch(src, _))
+    intercept[RuntimeException] {
+      ZipPublisher.publish(spark, src, sink, filesPerZip = 3,
+        onPublishedForTests = () => throw new RuntimeException("post-state crash"))
+    }
+    assert(exists(s"$sink/$g64/part_end_00000.zip"), "old end still present pre-retry")
+    assert(exists(s"$sink/$g64/part_end_00001.zip"), "crashed run's end committed")
+    // retry: rebuilds the end (sidecar-less 00001 fails J3) as 00002 and
+    // must purge BOTH superseded ends, on disk and in the dump xml
+    val r = ZipPublisher.publish(spark, src, sink, filesPerZip = 3)
+    assert(r.exists(z => !z.complete && z.zipName == "part_end_00002"), s"got $r")
+    assert(!exists(s"$sink/$g64/part_end_00000.zip"), "PRIOR superseded end purged")
+    assert(!exists(s"$sink/$g64/part_end_00001.zip"), "crashed run's end purged")
+    assert(!exists(s"$sink/$g64/manifest_part_end_00000.xml"))
+    val dump = Files.readString(Paths.get(s"$sink/$g64/resource-dump.xml"))
+    assert(dump.contains("part_def_00000.zip") && dump.contains("part_end_00002.zip"))
+    assert(!dump.contains("part_end_00000.zip") && !dump.contains("part_end_00001.zip"))
+    // steady state afterwards
+    assert(ZipPublisher.publish(spark, src, sink, filesPerZip = 3).isEmpty)
+  }
+
+  test("sweep repairs a graph the current run does not touch") {
+    val gB = java.util.Base64.getEncoder
+      .encodeToString("http://graph.example.org/g2".getBytes("UTF-8"))
+    val srcA = tmpDir("pubs_srcA"); val srcB = tmpDir("pubs_srcB")
+    val sink = tmpDir("pubs_sink")
+    // graph A: consistent publish of part_end_00000
+    (0 until 2).foreach(writePatch(srcA, _))
+    assert(ZipPublisher.publish(spark, srcA, sink, filesPerZip = 3)
+      .map(_.zipName) == Seq("part_end_00000"))
+    // simulate a past crashed run's leftover: a newer end zip on disk with
+    // no sidecars and a dump xml still pointing at the old end
+    Files.copy(Paths.get(s"$sink/$g64/part_end_00000.zip"),
+      Paths.get(s"$sink/$g64/part_end_00001.zip"))
+    // publish graph B only — graph A is untouched by this run
+    val dirB = Paths.get(srcB, s"g_b64=$gB")
+    Files.createDirectories(dirB)
+    Files.writeString(dirB.resolve(f"rdf_out_00000000000000-${0}%014d"),
+      "# at checkpoint  00000000000000\n+ <http://s> <http://p> <http://o> <http://graph.example.org/g2> .\n")
+    val r = ZipPublisher.publish(spark, srcB, sink, filesPerZip = 3)
+    assert(r.nonEmpty && r.forall(_.graph_b64 == gB))
+    // the sweep must have reconciled graph A: old end deleted, dump xml
+    // repaired to list the surviving (max-index) end part
+    assert(!exists(s"$sink/$g64/part_end_00000.zip"), "stale end purged on untouched graph")
+    assert(exists(s"$sink/$g64/part_end_00001.zip"))
+    val dumpA = Files.readString(Paths.get(s"$sink/$g64/resource-dump.xml"))
+    assert(dumpA.contains("part_end_00001.zip") && !dumpA.contains("part_end_00000.zip"))
+    assert(exists(s"$sink/$g64/manifest_part_end_00001.xml"), "sidecar regenerated")
+    assert(exists(s"$sink/$g64/part_end_00001.xml"), "member-list sidecar regenerated")
+  }
+
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
