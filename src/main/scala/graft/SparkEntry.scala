@@ -73,6 +73,14 @@ object SparkEntry {
     * for the DuckDB side of the tri-check. */
   private val expectedBootstrapDir = "/tmp/graft_expected_bootstrap"
 
+  /** Where q_pipeline_incremental materializes its closed-form expected
+    * ± patch set for batch 1. */
+  private val expectedIncrementalDir = "/tmp/graft_expected_incremental"
+
+  /** Where q_pipeline_remap materializes its expected batch-2 patch set
+    * (the n=40 corpus where batch 2 brings an alias that merges clusters). */
+  private val expectedRemapDir = "/tmp/graft_expected_remap"
+
   /** Where q_ann_ivf_topk materializes its k-means centroids so the DuckDB
     * oracle assigns cells from the identical double vectors. */
   private val ivfCentroidsDir = "/tmp/graft_ivf_centroids"
@@ -483,6 +491,68 @@ object SparkEntry {
       val pages = graft.sources.PageGen.snapshot(s, 200, 0)
       new graft.streaming.QuadLogPipeline(s, freshRoot("/tmp/graft_q_pipeline"), numBuckets = 8)
         .extractedQuads(pages).withColumn("op", lit("+"))
+    }),
+
+    // --- end-to-end flagship, INCREMENTAL path (the reference's reason to
+    // exist — parse_trx_logs.sql's +/- changelog): bootstrap at snapshot 0,
+    // then one real incremental batch (changed pages + deletes + newly seen
+    // aliases that remap stored representatives). The result is the batch's
+    // EMITTED PATCH FILES parsed back (so the row also certifies the writer
+    // round-trip), hash-checked against the closed-form symmetric-difference
+    // oracle of consecutive canonical states.
+    "q_pipeline_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val n = 200L
+      s.createDataset(graft.sources.ExpectedKg.incrementalPatches(n, 1)).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(expectedIncrementalDir)
+      val root = freshRoot("/tmp/graft_q_pipeline_incr")
+      val pipe = new graft.streaming.QuadLogPipeline(s, root, numBuckets = 8)
+      pipe.bootstrap(graft.sources.PageGen.snapshot(s, n, 0), "e1", "00000000000000")
+      // the driver of a real deployment hands the pipeline (changed,
+      // deleted); derive both from the deterministic generator closed form
+      val changedIdx = graft.sources.ExpectedKg.changedIndices(n, 1).toSet
+      val changed = s.createDataset(
+        changedIdx.toSeq.sorted.map(graft.sources.PageGen.pageFor(_, 1)))
+      val deleted = s.createDataset(
+        graft.sources.ExpectedKg.deletedIndices(n, 1).map(graft.sources.PageGen.urlFor))
+      pipe.incremental(1L, "20240102000000", changed, deleted)
+      // recursiveFileLookup instead of a /* glob: the glob form makes the
+      // analyzer's FileStreamSink metadata probe log a spurious
+      // FileNotFoundException WARN on the unexpanded pattern
+      s.read.option("recursiveFileLookup", "true").textFile(s"$root/patches/batch_1")
+        .flatMap(l => graft.rdf.NTriplesParser.parseLine(l, "").map(pl =>
+          (pl.op, pl.quad.s, pl.quad.p, pl.quad.oLex, pl.quad.oKind,
+            pl.quad.oDtype, pl.quad.oLang, pl.quad.g)))
+        .toDF("op", "s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
+    }),
+
+    // --- incremental path, CLUSTER-MERGE case: at n=40 the snapshot-2 batch
+    // naturally introduces an alias IRI that bridges an existing canonical
+    // cluster (15 of its '-' rows are remap deletes re-added under the /alt/
+    // representative) — certifying extendMap, the remap semi-join scan and
+    // the rewritten-contribution flow against the closed-form oracle.
+    "q_pipeline_remap" -> ((s, dir) => {
+      import s.implicits._
+      val n = 40L
+      s.createDataset(graft.sources.ExpectedKg.incrementalPatches(n, 2)).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(expectedRemapDir)
+      val root = freshRoot("/tmp/graft_q_pipeline_remap")
+      val pipe = new graft.streaming.QuadLogPipeline(s, root, numBuckets = 8)
+      pipe.bootstrap(graft.sources.PageGen.snapshot(s, n, 0), "e1", "00000000000000")
+      for (snap <- 1 to 2) {
+        val changed = s.createDataset(
+          graft.sources.ExpectedKg.changedIndices(n, snap)
+            .map(graft.sources.PageGen.pageFor(_, snap)))
+        val deleted = s.createDataset(
+          graft.sources.ExpectedKg.deletedIndices(n, snap)
+            .map(graft.sources.PageGen.urlFor))
+        pipe.incremental(snap.toLong, f"2024010${snap + 1}%d000000", changed, deleted)
+      }
+      s.read.option("recursiveFileLookup", "true").textFile(s"$root/patches/batch_2")
+        .flatMap(l => graft.rdf.NTriplesParser.parseLine(l, "").map(pl =>
+          (pl.op, pl.quad.s, pl.quad.p, pl.quad.oLex, pl.quad.oKind,
+            pl.quad.oDtype, pl.quad.oLang, pl.quad.g)))
+        .toDF("op", "s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
     })
   )
 
@@ -675,10 +745,15 @@ object SparkEntry {
          |FROM cand WHERE bit_count(xor(fa, fb)) <= 2""".stripMargin
     },
 
+    // shingle expr mirrors Dedup.shinglesScala EXACTLY incl. the truncated
+    // tail for docs shorter than n tokens: positions 1..max(len-2,1), each
+    // shingle sliced to least(i+2, len) — range(1, greatest(len-2,0)+1)
+    // would emit NO shingle for a 1-2-token doc where Spark emits one short
+    // shingle (masked at current sf because the corpora have no short docs)
     "q_dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, list_distinct(list_filter(
-        |    list_transform(range(1, greatest(len(string_split(text,' '))-2,0)+1),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]),
+        |    list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:least(i+2, len(string_split(text,' ')))], ' ')),
         |    x -> len(x) > 0)) AS toks FROM documents),
         |t2 AS (SELECT * FROM t WHERE len(toks) > 0),
         |sizes AS (SELECT doc_id, len(toks)::BIGINT AS n_toks FROM t2),
@@ -692,10 +767,11 @@ object SparkEntry {
         |FROM common JOIN sizes sa ON common.a = sa.doc_id JOIN sizes sb ON common.b = sb.doc_id
         |WHERE inter::DOUBLE / (sa.n_toks + sb.n_toks - inter) >= 0.05""".stripMargin,
 
+    // same truncated-tail shingle mirror as q_dedup_ngram_jaccard
     "q_dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_filter(
-        |    list_transform(range(1, greatest(len(string_split(text,' '))-2,0)+1),
-        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]),
+        |    list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:least(i+2, len(string_split(text,' ')))], ' ')),
         |    x -> len(x) > 0)) AS toks FROM documents),
         |t2 AS (SELECT * FROM t WHERE len(toks) > 0),
         |sizes AS (SELECT doc_id, len(toks)::BIGINT AS n_toks FROM t2),
@@ -838,6 +914,14 @@ object SparkEntry {
 
     "q_pipeline_bootstrap" ->
       s"""SELECT op, s, p, oLex, oKind, oDtype, oLang, g
-         |FROM read_parquet('$expectedBootstrapDir/*.parquet')""".stripMargin
+         |FROM read_parquet('$expectedBootstrapDir/*.parquet')""".stripMargin,
+
+    "q_pipeline_incremental" ->
+      s"""SELECT op, s, p, oLex, oKind, oDtype, oLang, g
+         |FROM read_parquet('$expectedIncrementalDir/*.parquet')""".stripMargin,
+
+    "q_pipeline_remap" ->
+      s"""SELECT op, s, p, oLex, oKind, oDtype, oLang, g
+         |FROM read_parquet('$expectedRemapDir/*.parquet')""".stripMargin
   )
 }

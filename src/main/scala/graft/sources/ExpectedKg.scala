@@ -77,14 +77,53 @@ object ExpectedKg {
     * mercuryplanet vs mercuryelement = 5/18). The representative is the
     * component min = the /alt/ IRI, so whenever BOTH namespaces of an
     * entity occur, every occurrence rewrites to /alt/. */
-  def bootstrapQuads(n: Long, snap: Int): Seq[ExpectedQuad] = {
+  def bootstrapQuads(n: Long, snap: Int): Seq[ExpectedQuad] =
+    canonicalQuadSet(n, snap).toSeq
+
+  private def liveIndices(n: Long, snap: Int): Seq[Long] = {
     val adds = (1 to snap).map(_ => n / 20).sum
-    val pages = (0L until n + adds).filter(PageGen.isLive(_, n, snap))
-      .map(PageGen.pageFor(_, snap))
-    val raw = pages.flatMap(pageQuads).toSet
-    val iris = raw.flatMap(q =>
+    (0L until n + adds).filter(PageGen.isLive(_, n, snap))
+  }
+
+  /** Page indices the pipeline's batch `snap` receives as CHANGED: newly
+    * born, or text revision bumped vs snapshot snap-1 (textFor is a pure
+    * function of the revision counter). */
+  def changedIndices(n: Long, snap: Int): Seq[Long] =
+    liveIndices(n, snap).filter(i =>
+      !PageGen.isLive(i, n, snap - 1) ||
+        PageGen.revisionOf(i, snap) != PageGen.revisionOf(i, snap - 1))
+
+  /** Page indices deleted by batch `snap` (live before, gone now). */
+  def deletedIndices(n: Long, snap: Int): Seq[Long] =
+    liveIndices(n, snap - 1).filterNot(PageGen.isLive(_, n, snap))
+
+  private def irisOf(quads: Set[ExpectedQuad]): Set[String] =
+    quads.flatMap(q =>
       Seq(q.s) ++ (if (q.oKind == TermKind.Iri) Seq(q.oLex) else Nil))
       .filter(_.startsWith("http://kg.example.org/"))
+
+  /** The pipeline's canonical-map DOMAIN is accumulated monotonically: the
+    * bootstrap corpus IRIs plus each incremental batch's changed-page IRIs
+    * (extendMap never drops ids when pages die). A cluster {entity/X,
+    * alt/X} is merged exactly when both flavors have EVER been seen —
+    * whether in one batch or across batches (extendMap restricts new-edge
+    * generation to fresh ids, and an old-old pair was already decided at
+    * its own batch under the same threshold). */
+  private def accumulatedIris(n: Long, snap: Int): Set[String] = {
+    val base = irisOf(
+      liveIndices(n, 0).map(PageGen.pageFor(_, 0)).flatMap(pageQuads).toSet)
+    (1 to snap).foldLeft(base) { (acc, k) =>
+      acc ++ irisOf(
+        changedIndices(n, k).map(PageGen.pageFor(_, k)).flatMap(pageQuads).toSet)
+    }
+  }
+
+  /** Canonicalized quad set (= facts with support > 0) after snapshot
+    * `snap`, under the map state accumulated through batch `snap`. */
+  def canonicalQuadSet(n: Long, snap: Int): Set[ExpectedQuad] = {
+    val raw = liveIndices(n, snap).map(PageGen.pageFor(_, snap))
+      .flatMap(pageQuads).toSet
+    val iris = accumulatedIris(n, snap)
     val canonical: Map[String, String] = iris.collect {
       case e if e.contains("/entity/") && iris.contains(PageGen.aliasIri(e)) =>
         e -> PageGen.aliasIri(e)
@@ -92,7 +131,20 @@ object ExpectedKg {
     def canon(t: String) = canonical.getOrElse(t, t)
     raw.map(q => q.copy(
       s = canon(q.s),
-      oLex = if (q.oKind == TermKind.Iri) canon(q.oLex) else q.oLex)).toSeq
+      oLex = if (q.oKind == TermKind.Iri) canon(q.oLex) else q.oLex))
+  }
+
+  /** Expected ± patch set emitted by incremental batch `snap`: the facts
+    * store patches on 0<->+ support transitions, so the batch's changelog
+    * is exactly the symmetric difference of consecutive canonical states —
+    * including the -old/+new remap pairs when a newly seen alias flips a
+    * stored representative (reference parse_trx_logs.sql:88-107 update =
+    * delete+insert semantics). */
+  def incrementalPatches(n: Long, snap: Int): Seq[ExpectedQuad] = {
+    val before = canonicalQuadSet(n, snap - 1)
+    val after = canonicalQuadSet(n, snap)
+    ((before -- after).map(_.copy(op = "-")) ++
+      (after -- before).map(_.copy(op = "+"))).toSeq
   }
 }
 

@@ -128,6 +128,41 @@ class PipelineSpec extends GraftSpec {
     }
   }
 
+  test("emitted incremental patches == ExpectedKg closed form (incl. cluster merge)") {
+    // the oracle rows q_pipeline_incremental / q_pipeline_remap certify this
+    // against DuckDB; this spec pins the same agreement inside sbt test at
+    // the n=40 corpus where batch 2 carries a natural cluster-merge remap
+    import graft.sources.ExpectedKg
+    val n = 40L
+    val root = tmpDir("graft_expected_incr")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 8, canonicalize = true)
+    pipe.bootstrap(PageGen.snapshot(spark, n, 0), "e1", "00000000000000")
+    for (snap <- 1 to 2) {
+      val changed = spark.createDataset(
+        ExpectedKg.changedIndices(n, snap).map(PageGen.pageFor(_, snap)))
+      val deleted = spark.createDataset(
+        ExpectedKg.deletedIndices(n, snap).map(PageGen.urlFor))
+      pipe.incremental(snap.toLong, f"2024010${snap + 1}%d000000", changed, deleted)
+      val emitted = spark.read.option("recursiveFileLookup", "true")
+        .textFile(s"$root/patches/batch_$snap")
+        .flatMap(l => graft.rdf.NTriplesParser.parseLine(l, "").map(pl =>
+          (pl.op, pl.quad.s, pl.quad.p, pl.quad.oLex, pl.quad.oKind,
+            pl.quad.oDtype, pl.quad.oLang, pl.quad.g)))
+        .collect().toSet
+      val expected = ExpectedKg.incrementalPatches(n, snap)
+        .map(q => (q.op, q.s, q.p, q.oLex, q.oKind, q.oDtype, q.oLang, q.g)).toSet
+      assert(emitted == expected, s"batch $snap patch set != closed form " +
+        s"(extra=${(emitted -- expected).take(3)}, missing=${(expected -- emitted).take(3)})")
+    }
+    // the pinned merge event: batch 2 retracts rows under the superseded
+    // /entity/ representative and re-adds them under /alt/
+    val b2 = ExpectedKg.incrementalPatches(n, 2)
+    val adds = b2.filter(_.op == "+").map(q => (q.s, q.p)).toSet
+    assert(b2.exists(q => q.op == "-" && q.s.contains("/entity/") &&
+      adds.contains((q.s.replace("/entity/", "/alt/"), q.p))),
+      "n=40 batch 2 must contain the cluster-merge remap rows")
+  }
+
   test("canonical cluster merge across batches remaps stored facts via -/+ patches") {
     import graft.model.Page
     val root = tmpDir("graft_remap")
