@@ -178,18 +178,20 @@ object Similarity {
   /** Deterministic seeded k-means for IVF centroids: Lloyd iterations over
     * a BOUNDED driver-side sample (the standard IVF recipe — centroids come
     * from a sample pass, never the full corpus; at 10^12 rows the sample is
-    * the only tractable training set). Deterministic end to end: sample =
-    * first `sampleSize` rows by vec_id (a distributed top-k, no full sort),
-    * init = evenly spaced sample points, assignment ties -> smallest cell.
-    * Empty cells keep their previous centroid. */
+    * the only tractable training set). Deterministic AND unbiased: sample =
+    * first `sampleSize` rows by xxhash64(vec_id) (a distributed top-k over
+    * a uniform pseudo-random order — ordering by raw vec_id would model
+    * only the HEAD of the corpus, since ids correlate with crawl order /
+    * domain at real scale), init = evenly spaced sample points, assignment
+    * ties -> smallest cell. Empty cells keep their previous centroid. */
   def kmeansCentroids(corpus: DataFrame, k: Int, sampleSize: Int = 1024,
                       iters: Int = 5): Seq[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sample: Array[Array[Float]] =
       corpus.select(col("vec_id").cast("long"), col("embedding"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleSize)
         .as[(Long, Seq[Float])]
-        .orderBy(col("vec_id")).limit(sampleSize)
         .collect().map(_._2.toArray)
     require(sample.nonEmpty, "kmeansCentroids: empty corpus")
     val dim = sample(0).length
