@@ -216,7 +216,7 @@ object ZipPublisher {
     val f = fs(spark, sinkDir)
     f.mkdirs(new Path(sinkDir))
     val stateDir = s"$sinkDir/_published"
-    val hasState = f.exists(new Path(stateDir))
+    val hasState = graft.state.CompactedAppendTable.exists(spark, stateDir)
 
     // inventory minus already-definitively-published resources; when the
     // pipeline's graph-folder index is supplied, the fan-out is driven by it
@@ -231,7 +231,8 @@ object ZipPublisher {
     }
     val inv =
       if (!hasState) inv0
-      else inv0.join(spark.read.parquet(stateDir).select("resource"),
+      else inv0.join(
+        graft.state.CompactedAppendTable.read(spark, stateDir).get.select("resource"),
         Seq("resource"), "left_anti")
 
     // Greedy per-graph windows over the unpublished remainder: a window
@@ -406,10 +407,13 @@ object ZipPublisher {
       if (rows.isEmpty) return Seq.empty
       onBuiltForTests(rows.map { case (g, name, complete, n, len, md5v, lastmod, _) =>
         ZipInfo(g, name, complete, n, len, md5v, lastmod) }.toSeq)
-      // published-state bookkeeping: complete-zip members, written distributed
-      assigned.filter(col("is_complete"))
-        .select(col("resource"), col("zipName").as("zip"))
-        .write.mode("append").parquet(stateDir)
+      // published-state bookkeeping: complete-zip members, written
+      // distributed; compacted-append layout bounds the state's file count
+      // across thousands of publish runs, sized ~4M member rows per file
+      graft.state.CompactedAppendTable.append(spark, stateDir,
+        assigned.filter(col("is_complete"))
+          .select(col("resource"), col("zipName").as("zip")),
+        targetFiles = rowsTotal => (rowsTotal / 4000000L + 1L).toInt)
       rows
     } catch {
       case e: Throwable =>

@@ -522,13 +522,18 @@ final class QuadLogPipeline(
       .withColumn("deleted", lit(deleted))
       .withColumn("files", lit(files))
       .withColumnRenamed("bucket", "partitionId")
-    perBucket.write.mode("append").parquet(lineageDir)
+    // compacted-append layout: one tiny file per batch would otherwise
+    // accumulate forever and every watermark/prune read would list and
+    // open thousands of files (the reference's counts files are O(1))
+    graft.state.CompactedAppendTable.append(spark, lineageDir, perBucket)
   }
 
-  def lineage: DataFrame = spark.read.parquet(lineageDir)
+  def lineage: DataFrame =
+    graft.state.CompactedAppendTable.read(spark, lineageDir)
+      .getOrElse(sys.error(s"no lineage at $lineageDir"))
 
   def watermark: Option[java.sql.Timestamp] = {
-    if (!new java.io.File(lineageDir.stripPrefix("file:")).exists()) return None
+    if (!graft.state.CompactedAppendTable.exists(spark, lineageDir)) return None
     val r = lineage.agg(max("watermark")).head()
     if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
   }

@@ -54,4 +54,46 @@ class StreamSpec extends GraftSpec {
       .count(f => f.getName.startsWith("rdf_out_")) // not hadoop .crc sidecars
     assert(published == onDisk)
   }
+
+  test("continuous (RUN_INTERVAL) trigger: two staggered drops -> two commits, same state") {
+    val root = tmpDir("cstream_root")
+    val inDir = tmpDir("cstream_in")
+    val cpDir = tmpDir("cstream_cp")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = false)
+    val n = 60L
+    pipe.bootstrap(PageGen.snapshot(spark, n, 0), "e1", "00000000000000")
+
+    def dropDelta(snap: Int): Unit = {
+      val prev = PageGen.snapshot(spark, n, snap - 1).collect().map(p => p.url -> p).toMap
+      val cur = PageGen.snapshot(spark, n, snap)
+      val curMap = cur.collect().map(p => p.url -> p).toMap
+      val changed = cur.filter(p => !prev.contains(p.url) || prev(p.url).text != p.text)
+      val tombstones = prev.keys.filterNot(curMap.contains).toSeq
+        .map(u => graft.model.Page(u, new java.sql.Timestamp(0), Array.emptyByteArray, null, null))
+      changed.toDF().unionByName(spark.createDataset(tombstones).toDF())
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+
+    val committed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // first drop exists BEFORE start; second lands while the query polls —
+    // the poll loop must pick it up on a later trigger tick
+    dropDelta(1)
+    val q = new StreamRunner(spark, pipe).runContinuous(
+      inDir, cpDir, startBatchId = 1, interval = "1 second",
+      onBatch = id => { committed.add(id); () })
+    try {
+      def awaitBatches(k: Int): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (committed.size < k && System.nanoTime() < deadline) Thread.sleep(100)
+        assert(committed.size >= k, s"timed out waiting for $k commits, got $committed")
+      }
+      awaitBatches(1)
+      dropDelta(2)
+      awaitBatches(2)
+    } finally q.stop()
+    // the polled commits must land in exactly the batch-sequence state
+    val expected = pipe.extractedQuads(PageGen.snapshot(spark, n, 2))
+    assert(QuadDiff.diff(pipe.currentQuads, expected).count() == 0)
+    assert(committed.iterator().next() == 1L)
+  }
 }
