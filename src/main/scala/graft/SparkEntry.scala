@@ -457,6 +457,31 @@ object SparkEntry {
       Multimodal.frameSampleMeta(media, stride = 4)
     }),
 
+    // --- multimodal: REAL header-only decode — synthesize structurally
+    // valid PNG/JPEG containers (closed-form dims, real CRCs) around the
+    // text bytes, then parse width/height back with MediaHeaders (public
+    // byte-layout parsing, no codec library); the oracle recomputes the
+    // closed form. A bad synthesizer OR parser breaks the hash match;
+    // golden fixed-byte vectors in MultimodalSpec pin both independently.
+    "q_mm_image_dims" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val w = (id % 512 + 1).toInt
+          val h = (id * 7 % 512 + 1).toInt
+          val content = text.getBytes("UTF-8")
+          val payload =
+            if ((id / 3) % 2 == 0) Multimodal.Synth.png(w, h, content)
+            else Multimodal.Synth.jpeg(w, h, content)
+          val (container, pw, ph) = Multimodal.MediaHeaders.decode(payload)
+            .getOrElse(sys.error(s"header parse failed for doc $id"))
+          (id, container, pw.toLong, ph.toLong, payload.length.toLong)
+        })
+        .toDF("doc_id", "container", "width", "height", "byte_len")
+    }),
+
     // --- headline star-join aggregate (exact DECIMAL, emitted as cents)
     "q_agg_star_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
@@ -891,6 +916,15 @@ object SparkEntry {
         |  octet_length(encode(text))::BIGINT AS byte_len,
         |  md5(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "q_mm_image_dims" ->
+      """SELECT doc_id,
+        |  CASE WHEN (doc_id // 3) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS container,
+        |  (doc_id % 512 + 1)::BIGINT AS width,
+        |  ((doc_id * 7) % 512 + 1)::BIGINT AS height,
+        |  (octet_length(encode(text)) +
+        |    CASE WHEN (doc_id // 3) % 2 = 0 THEN 57 ELSE 23 END)::BIGINT AS byte_len
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     "q_mm_frame_sample" ->
       """WITH v AS (SELECT doc_id, md5(text) AS checksum,

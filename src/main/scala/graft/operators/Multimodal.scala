@@ -40,9 +40,145 @@ object Multimodal {
       StructField("dim1", IntegerType, nullable = false),
       StructField("dim2", IntegerType, nullable = false))), nullable = true)))
 
-  /** STUB decoder: a real build would call an image/audio codec here (e.g.
-    * via JNI or a vectorized Python worker). The fake derives metadata as a
-    * pure function of the payload bytes so tests are deterministic. */
+  /** REAL header-only media decoding: dimensions/sample metadata parsed
+    * straight from the container's public byte layout — no codec library
+    * needed, because none of these fields require decompressing pixel/
+    * sample data. Formats (all public specs):
+    *  - PNG:  8-byte signature, IHDR width/height as big-endian u32 at
+    *          offsets 16/20;
+    *  - JPEG: FFD8 SOI, then marker scan to any SOFn (C0-CF minus C4/C8/CC),
+    *          height/width big-endian u16 at +3/+5 into the segment;
+    *  - GIF:  GIF87a/GIF89a, logical-screen width/height little-endian u16
+    *          at 6/8;
+    *  - WAV:  RIFF....WAVE, "fmt " chunk -> (sampleRate, channels).
+    * Full-pixel decode (resize, feature extraction) still needs a codec a
+    * production build would bind here; [[FakeCodec]] remains the declared
+    * deterministic stand-in for payloads that are not real containers. */
+  object MediaHeaders {
+
+    private def beU16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def beU32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def leU16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def leU32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    /** (container, dim1, dim2): png/jpeg/gif -> (width, height);
+      * wav -> (sampleRate, channels). None when no known magic matches. */
+    def decode(b: Array[Byte]): Option[(String, Int, Int)] = {
+      if (b == null) return None
+      if (b.length >= 24 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        return Some(("png", beU32(b, 16), beU32(b, 20)))
+      if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        return decodeJpeg(b)
+      if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        return Some(("gif", leU16(b, 6), leU16(b, 8)))
+      if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+        return decodeWav(b)
+      None
+    }
+
+    private def decodeJpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+      var o = 2
+      while (o + 4 <= b.length) {
+        if ((b(o) & 0xff) != 0xff) return None // marker desync
+        val marker = b(o + 1) & 0xff
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+          o += 2 // standalone markers carry no length
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return None // EOI / start-of-scan before any SOF: no dims
+        } else {
+          val len = beU16(b, o + 2)
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (o + 9 > b.length) return None
+            return Some(("jpeg", beU16(b, o + 7), beU16(b, o + 5)))
+          }
+          o += 2 + len
+        }
+      }
+      None
+    }
+
+    private def decodeWav(b: Array[Byte]): Option[(String, Int, Int)] = {
+      var o = 12
+      while (o + 8 <= b.length) {
+        val id = new String(b, o, 4, "US-ASCII")
+        val size = leU32(b, o + 4)
+        if (id == "fmt " && o + 16 <= b.length)
+          return Some(("wav", leU32(b, o + 12), leU16(b, o + 10)))
+        o += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      None
+    }
+  }
+
+  /** Deterministic minimal-container SYNTHESIZERS (fixture generation for
+    * tests and the oracle row): structurally valid headers with real CRCs,
+    * wrapping arbitrary content bytes. */
+  object Synth {
+    private def crc32(chunks: Array[Byte]*): Int = {
+      val c = new java.util.zip.CRC32
+      chunks.foreach(c.update)
+      c.getValue.toInt
+    }
+    private def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val t = tpe.getBytes("US-ASCII")
+      be32(data.length) ++ t ++ data ++ be32(crc32(t, data))
+    }
+
+    /** Minimal PNG: signature + IHDR(w, h, 8-bit RGB) + one IDAT carrying
+      * `content` verbatim + IEND. Total length = content.length + 57. */
+    def png(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      val ihdr = be32(width) ++ be32(height) ++
+        Array[Byte](8, 2, 0, 0, 0) // bit depth 8, color RGB
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", content) ++ chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Minimal JPEG: SOI + SOF0(h, w, 3 components) + content + EOI.
+      * Total length = content.length + 23. */
+    def jpeg(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      val sof = Array[Byte](0xff.toByte, 0xc0.toByte, 0, 17, 8,
+        ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+        ((width >> 8) & 0xff).toByte, (width & 0xff).toByte, 3,
+        1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++ sof ++ content ++
+        Array[Byte](0xff.toByte, 0xd9.toByte)
+    }
+
+    /** Minimal WAV: RIFF/WAVE + PCM fmt chunk + data chunk = `content`. */
+    def wav(sampleRate: Int, channels: Int, content: Array[Byte]): Array[Byte] = {
+      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val blockAlign = channels * 2
+      val fmt = le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+        le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(16)
+      val data = content ++ (if (content.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + fmt.length + 8 + data.length) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(fmt.length) ++ fmt ++
+        "data".getBytes("US-ASCII") ++ le32(content.length) ++ data
+    }
+  }
+
+  /** STUB fallback for payloads that are not real containers: a real build
+    * would call a full codec here (via JNI or a vectorized Python worker)
+    * for pixel/sample decode. The fake derives metadata as a pure function
+    * of the payload bytes so tests are deterministic. */
   object FakeCodec {
     def decodeDims(payload: Array[Byte], kind: String): (Int, Int) = {
       if (payload == null || payload.isEmpty) return (0, 0)
@@ -74,7 +210,10 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, payload) =>
-          val (d1, d2) = FakeCodec.decodeDims(payload, kind)
+          // real header parse first; FakeCodec only for non-container bytes
+          val (d1, d2) = MediaHeaders.decode(payload)
+            .map { case (_, a, b) => (a, b) }
+            .getOrElse(FakeCodec.decodeDims(payload, kind))
           val len = if (payload == null) 0 else payload.length
           val sum = java.security.MessageDigest.getInstance("MD5")
             .digest(if (payload == null) Array.emptyByteArray else payload)
