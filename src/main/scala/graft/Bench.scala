@@ -105,10 +105,13 @@ object Bench {
     val s1 = spark.read.parquet(s"$root/pages/snap1").as[graft.model.Page]
     val t0 = System.nanoTime()
     val r0 = pipe.bootstrap(s0, "bench", "00000000000000")
-    // incremental: changed pages = revision bumped in snapshot 1; deletions per generator
+    // incremental: changed pages = revision bumped in snapshot 1; deletions
+    // per generator. The deleted-url derivation is a full-corpus except —
+    // materialize it ONCE (tiny result) instead of letting every engine
+    // consumer (touched-url union, contrib-merge anti-join) re-run it.
     val changed = s1.filter(p => graft.sources.PageGen.revisionOf(
       p.url.substring(p.url.lastIndexOf('/') + 1).toLong, 1) > 0)
-    val deleted = s0.select("url").except(s1.select("url")).as[String]
+    val deleted = s0.select("url").except(s1.select("url")).as[String].localCheckpoint()
     val r1 = pipe.incremental(1L, "20240102000000", changed, deleted)
     val secs = (System.nanoTime() - t0) / 1e9
     if (sys.env.get("GRAFT_TIMING").contains("1"))

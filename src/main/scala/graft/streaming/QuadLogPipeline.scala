@@ -189,10 +189,18 @@ final class QuadLogPipeline(
     contrib.reset(); facts.reset(); canon.reset(); graphIdx.reset()
     if (hfs.exists(markerPath)) hfs.delete(markerPath, false)
     // A4 (vql_check_trx, dump_nquads.sql:75-78, 98-143): fingerprint the
-    // input snapshot BEFORE the dump; re-checked after commit — a drifting
-    // source (concurrent inserts/deletes during the multi-pass dump)
-    // invalidates the dump loudly instead of committing a torn snapshot.
-    val fp0 = timed("bootstrap.fingerprint")(snapshotFingerprint(pages))
+    // input snapshot at the START of the dump; re-checked before the
+    // completion trailer — a drifting source (concurrent inserts/deletes
+    // during the multi-pass dump) invalidates the dump loudly. The pass is
+    // submitted CONCURRENTLY with the extraction chain (its column-pruned
+    // scan rides under the CPU-bound extraction): like the reference's
+    // start-of-dump transaction-count read, it samples the start window,
+    // and any drift that persists to the end-of-dump re-check still trips
+    // the comparison.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = sinkEc
+    val fFp0 = Future(timed("bootstrap.fingerprint")(snapshotFingerprint(pages)))
     val raw = rawQuads(pages)
     val contribData =
       if (!canonicalize) raw
@@ -224,9 +232,6 @@ final class QuadLogPipeline(
     // sink's serialized write syscalls run under the other's compute
     // (sequential phases left the other cores idle during each write — the
     // measured scaling residual in BENCH.md §Scaling).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext = sinkEc
     val sBack = facts.read().get
     val patches = sBack.select((lit("+").as("op") +: quadCols.map(col)): _*)
     val fFiles = Future(timed("bootstrap.patchFiles") {
@@ -238,14 +243,15 @@ final class QuadLogPipeline(
         scala.util.Try(Await.result(fIdx, Duration.Inf)))
     Seq(rFiles, rIdx).collectFirst { case scala.util.Failure(e) => throw e }
     val files = rFiles.get
-    val added = sBack.count() // parquet metadata count — no recompute
+    val added = timed("bootstrap.addedCount")(sBack.count()) // parquet metadata count
+    val fp0 = Await.result(fFp0, Duration.Inf)
     // A4: re-check the fingerprint BEFORE any completion artifact exists —
     // the dump-report trailer is what tells external patch consumers the
     // dump is done (dump_nquads.sql:75-78 invalidates before declaring
     // complete), so a torn snapshot must raise while the trailer and
     // lineage are still absent. The store commits above are internal state
     // a re-run overwrites; the trailer is the externally visible contract.
-    assertSnapshotStable(pages, fp0)
+    timed("bootstrap.recheckFp")(assertSnapshotStable(pages, fp0))
     // dump-report trailer file (dump_nquads.sql:58-83 / sample fixture)
     val isoNow = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
@@ -253,7 +259,7 @@ final class QuadLogPipeline(
       started = isoNow.format(java.time.Instant.ofEpochMilli(startedAtMs)),
       completed = isoNow.format(java.time.Instant.now()),
       quadCount = added, fileCount = files)
-    writeLineage(epoch, 0L, pages, added, 0L, files)
+    timed("bootstrap.lineage")(writeLineage(epoch, 0L, pages, added, 0L, files))
     BatchResult(0L, added, 0L, files)
   }
 
@@ -301,7 +307,8 @@ final class QuadLogPipeline(
         // under superseded representatives would silently never be
         // rewritten. Staging keeps canon.read() on the OLD snapshot until
         // the single marker-guarded finalize below flips all three.
-        canon.stageFull(cmap.withColumn("bucket", canon.bucketCol(col("id"))), batchId)
+        timed("incr.canonStage")(
+          canon.stageFull(cmap.withColumn("bucket", canon.bucketCol(col("id"))), batchId))
         (rewriteIfNonTrivial(rawNew, cmap), remapped)
       }
     val newContrib = newContrib0.withColumn("bucket", contrib.bucketCol(col("url")))
@@ -357,16 +364,27 @@ final class QuadLogPipeline(
           oldInBuckets.join(remapUrls, Seq("url"), "left_semi").drop("bucket"),
           remapPairsC, nRemap)
         .withColumn("bucket", contrib.bucketCol(col("url")))
-    val newSide = newContrib.unionByName(rewrittenOld)
+    // Materialize the batch's new contributions ONCE: both the signed delta
+    // and the contrib merge consume them, and lazily each consumer re-ran
+    // the changed-page extraction + canonical rewrite (measured ~2x the
+    // batch's extraction compute — the 8-core level pays it serially while
+    // 32 cores hide it under the concurrent sink writes, i.e. pure ratio
+    // padding). O(batch) rows in the block store, never O(corpus) — the
+    // corpus-sized materialization stays parquet-backed by design.
+    val newSide = timed("incr.newSide") {
+      newContrib.unionByName(rewrittenOld).localCheckpoint()
+    }
 
-    // signed support delta per quad from the touched pages only
-    val urlQuad = (col("url") +: quadCols.map(col))
-    val d = oldContrib.select(urlQuad: _*).withColumn("w", lit(-1L))
-      .unionByName(newSide.select(urlQuad: _*).withColumn("w", lit(1L)))
-      .groupBy((col("url") +: quadCols.map(col)): _*)
-      .agg(sum("w").as("w")) // per-(url,quad): -1 lost, 0 kept, +1 gained
-      .filter(col("w") =!= 0L)
-      .groupBy(quadCols.map(col): _*)
+    // signed support delta per quad from the touched pages only. ONE
+    // quad-key aggregation: contrib rows are distinct per (url, quad) by
+    // construction, so summing ±1 directly per quad equals
+    // support_new - support_old — the earlier per-(url, quad) pre-stage
+    // computed the same net and cost a second full shuffle of the
+    // churn-sized union for nothing (map-side partial combine already
+    // collapses each side's contribution per quad).
+    val d = oldContrib.select(quadKey: _*).withColumn("w", lit(-1L))
+      .unionByName(newSide.select(quadKey: _*).withColumn("w", lit(1L)))
+      .groupBy(quadKey: _*)
       .agg(sum("w").as("d"))
       .filter(col("d") =!= 0L)
       .withColumn("bucket", facts.bucketCol(quadKey: _*))
@@ -429,8 +447,8 @@ final class QuadLogPipeline(
     val files = rFiles.get
 
     // one job for both tallies (checkpointed patches)
-    val tallies = patchesC.groupBy("op").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tallies = timed("incr.tallies")(patchesC.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
     val added = tallies.getOrElse("+", 0L)
     val deleted = tallies.getOrElse("-", 0L)
     // lineage BEFORE the marker: a crash before the marker recomputes the
@@ -438,7 +456,7 @@ final class QuadLogPipeline(
     // after the marker, recovery replays the pointer flips below.
     // The marker-guarded finalize flips ALL staged stores (canon included —
     // it moves atomically with the data it canonicalizes).
-    writeLineage(epoch, batchId, changed, added, deleted, files)
+    timed("incr.lineage")(writeLineage(epoch, batchId, changed, added, deleted, files))
     writeCommitMarker(batchId)
     if (canonicalize) canon.finalizeCommit(batchId)
     facts.finalizeCommit(batchId)
