@@ -503,6 +503,28 @@ object SparkEntry {
         .orderBy("source", "lang", "doc_id")
     }),
 
+    // --- graph materialization (north_star): adjacency-list edge table,
+    // subject-hash partitioned with hub-safe page chunking. pageSize=3
+    // forces multi-page subjects (users have up to 5 event types), and the
+    // bucket uses the portable md5 hash so DuckDB mirrors the layout; the
+    // production default is the codegen'd xxhash64 bucket.
+    "q_graph_adjacency" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .groupBy(concat(lit("u"), col("user_id").cast("string")).as("s"),
+          concat(lit("t"), col("event_type")).as("o"))
+        .agg(count(lit(1)).as("w"))
+        .select(col("s"), concat(col("o"), lit(":"), col("w")).as("e"))
+      val portableBucket = pmod(
+        conv(substring(md5(concat(col("s"), lit("#b"))), 1, 15), 16, 10).cast("long"),
+        lit(32))
+      graft.plans.GraphMaterialize.adjacencyPages(edges, numBuckets = 32,
+          pageSize = 3, bucketCol = Some(portableBucket.cast("int")))
+        .select(col("s"), col("page").cast("long").as("page"),
+          col("degree").cast("long").as("degree"),
+          concat_ws(",", col("adj")).as("adj"),
+          col("bucket").cast("long").as("bucket"))
+    }),
+
     // --- end-to-end flagship: bootstrap patch set, tri-checked against the
     // closed-form ExpectedKg oracle (plain-Scala re-derivation incl. the
     // public-xxHash64 bnode ids and the canonical-map closed form); the
@@ -945,6 +967,18 @@ object SparkEntry {
 
     "q_o1_cluster_by_graph" ->
       """SELECT source, lang, doc_id FROM documents ORDER BY source, lang, doc_id""".stripMargin,
+
+    "q_graph_adjacency" ->
+      """WITH edges AS (
+        |  SELECT 'u' || user_id::VARCHAR AS s,
+        |         't' || event_type || ':' || count(*)::VARCHAR AS e
+        |  FROM events GROUP BY user_id, event_type),
+        |r AS (SELECT s, e, row_number() OVER (PARTITION BY s ORDER BY e) AS rn FROM edges),
+        |g AS (SELECT s, ((rn - 1) // 3)::BIGINT AS page, e FROM r)
+        |SELECT s, page, count(*)::BIGINT AS degree,
+        |       string_agg(e, ',' ORDER BY e) AS adj,
+        |       (('0x' || substr(md5(s || '#b'), 1, 15))::BIGINT % 32)::BIGINT AS bucket
+        |FROM g GROUP BY s, page""".stripMargin,
 
     "q_pipeline_bootstrap" ->
       s"""SELECT op, s, p, oLex, oKind, oDtype, oLang, g
