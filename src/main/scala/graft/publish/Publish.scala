@@ -103,6 +103,26 @@ object ZipPublisher {
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Run independent per-graph filesystem work on a bounded thread pool
+    * (Hadoop FileSystem handles are thread-safe; each task touches only
+    * its own graph directory). Surfaces the first failure only after all
+    * tasks settle, so no task is abandoned mid-write. */
+  private def forEachParallel[T](items: Seq[T], threads: Int = 8)(f: T => Unit): Unit = {
+    if (items.size <= 1) { items.foreach(f); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(threads, items.size))
+    try {
+      val futs = items.map(i => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = f(i)
+      }))
+      val errs = futs.flatMap(fu => scala.util.Try(fu.get()).failed.toOption)
+      errs.headOption.foreach {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+        case e => throw e
+      }
+    } finally pool.shutdown()
+  }
+
   /** Atomic metadata write: tmp + rename. A crash mid-write can no longer
     * leave a torn resource-dump.xml that the next run's read-modify-write
     * trusts (zipsynchronizer.py:69-109's cleanup concern). */
@@ -440,8 +460,12 @@ object ZipPublisher {
       summaries += ZipInfo(g, name, complete, n, len, md5v, lastmod)
     }
 
-    // per-graph resource-dump.xml (accumulating: previous defs stay listed)
-    summaries.groupBy(_.graph_b64).foreach { case (g, zs) =>
+    // per-graph resource-dump.xml (accumulating: previous defs stay listed).
+    // Graphs are independent (disjoint directories) — the metadata writes
+    // run on a small thread pool: serially this driver loop is O(graphs)
+    // of filesystem round-trips, the publish tail's bottleneck once the
+    // graph count is large.
+    forEachParallel(summaries.groupBy(_.graph_b64).toSeq) { case (g, zs) =>
       val gDir = new Path(sinkDir, g)
       val gUrl = s"$publishUrl$g/"
       val already: Seq[ZipInfo] = readDump(f, gDir, g)
@@ -546,9 +570,9 @@ object ZipPublisher {
     val sinkPath = new Path(sinkDir)
     if (!f.exists(sinkPath)) return
     val touched = summaries.map(_.graph_b64).toSet
-    f.listStatus(sinkPath).filter(_.isDirectory).map(_.getPath)
+    forEachParallel(f.listStatus(sinkPath).filter(_.isDirectory).map(_.getPath)
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-      .foreach { gDir =>
+      .toSeq) { gDir =>
         val g = gDir.getName
         val ends = f.listStatus(gDir).map(_.getPath.getName)
           .filter(n => n.startsWith("part_end_") && n.endsWith(".zip"))
