@@ -435,6 +435,31 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langGuess(col("text")).as("lang_guess"))
     }),
 
+    // --- text: repetition quality (Gopher-style top-bigram rule) — most
+    // frequent token 2-gram per doc, ties to the smallest bigram
+    "q_txt_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("top_bigram"),
+          col("top_bigram_n").cast("long").as("top_bigram_n"))
+    }),
+
+    // --- dedup/decontamination: distinct 3-gram shingles shared with the
+    // benchmark set (docs 0-4 stand in for a leaked eval suite); benchmark
+    // shingles ride as a broadcast semi-join — never corpus x benchmark
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationOverlap(
+          docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5), n = 3)
+        .withColumn("contaminated", (col("shared") >= 2).cast("int"))
+    }),
+
+    // --- deterministic leak-free train/val/test split (portable salted
+    // hash of the id: stable across runs, engines and corpus growth)
+    "q_sample_split" -> ((s, dir) => {
+      TextAnalysis.deterministicSplit(t(s, dir, "documents"))
+        .select("doc_id", "split")
+    }),
+
     // --- text: rolling polynomial fingerprint (mod 1e9+7, portable)
     "q_txt_fingerprint" -> ((s, dir) => {
       val norm = lower(regexp_replace(col("text"), "\\s+", " "))
@@ -923,6 +948,44 @@ object SparkEntry {
         |  WHEN s_es >= s_fr AND s_es >= s_nl THEN 'es'
         |  WHEN s_fr >= s_nl THEN 'fr' ELSE 'nl' END AS lang_guess
         |FROM s""".stripMargin,
+
+    "q_txt_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 2
+        |             THEN list_transform(range(1, len(toks)),
+        |                    i -> toks[i] || ' ' || toks[i + 1])
+        |             ELSE [] END AS grams,
+        |        len(toks)::BIGINT AS n_tokens FROM t),
+        |ex AS (SELECT doc_id, unnest(grams) AS g FROM b),
+        |c AS (SELECT doc_id, g, count(*)::BIGINT AS n FROM ex GROUP BY 1, 2),
+        |top AS (SELECT doc_id, g, n,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g) AS rn
+        |        FROM c)
+        |SELECT b.doc_id, b.n_tokens,
+        |       coalesce(top.g, '') AS top_bigram,
+        |       coalesce(top.n, 0)::BIGINT AS top_bigram_n
+        |FROM b LEFT JOIN top ON b.doc_id = top.doc_id AND top.rn = 1""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:least(i+2, len(string_split(text,' ')))], ' ')),
+        |    x -> len(x) > 0)) AS toks FROM documents),
+        |ex AS (SELECT doc_id, unnest(toks) AS sh FROM t),
+        |bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id < 5),
+        |hits AS (SELECT doc_id, count(DISTINCT ex.sh)::BIGINT AS shared
+        |         FROM ex JOIN bench USING (sh) WHERE doc_id >= 5 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(hits.shared, 0)::BIGINT AS shared,
+        |       (coalesce(hits.shared, 0) >= 2)::INT AS contaminated
+        |FROM documents d LEFT JOIN hits USING (doc_id) WHERE d.doc_id >= 5""".stripMargin,
+
+    "q_sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+        |       WHEN ('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q_txt_fingerprint" ->
       """SELECT doc_id, list_reduce(

@@ -313,4 +313,26 @@ object Dedup {
   def clusters(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame =
     graft.canon.ConnectedComponents.run(spark,
       pairs.select(col("a").cast("string").as("src"), col("b").cast("string").as("dst")))
+
+  /** Decontamination n-gram overlap (the train-vs-eval leakage check every
+    * training-data pipeline needs): for each CORPUS document, the number of
+    * distinct word n-gram shingles it shares with ANY benchmark document.
+    * `shared >= threshold` is the usual contamination verdict.
+    *
+    * Scale shape: the benchmark shingle set is small (eval suites are
+    * thousands of docs) -> it arrives as a broadcast LEFT-SEMI filter on
+    * the corpus shingle stream; the corpus side is ONE narrow pass +
+    * one aggregation keyed by doc id. Never a corpus-x-benchmark join. */
+  def contaminationOverlap(corpus: DataFrame, benchmark: DataFrame,
+                           n: Int = 3, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val corpusSh = shingleRows(corpus, idCol, textCol, n)
+    val benchSh = broadcast(
+      shingleRows(benchmark, idCol, textCol, n).select("sh").distinct())
+    val hits = corpusSh.join(benchSh, Seq("sh"), "left_semi")
+      .groupBy(idCol).agg(count_distinct(col("sh")).as("shared"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("shared"), lit(0L)).as("shared"))
+  }
 }

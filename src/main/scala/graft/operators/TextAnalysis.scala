@@ -75,4 +75,53 @@ object TextAnalysis {
     aggregate(split(norm, ""), lit(0L), (acc, ch) =>
       acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)))
   }
+
+  /** Repetition-quality stats (the Gopher/RefinedWeb "top n-gram fraction"
+    * rule, integer-exact): per document, the most frequent token 2-gram and
+    * its count — a high top_bigram_n / n_tokens ratio flags boilerplate and
+    * degenerate repetition. Ties break to the lexicographically smallest
+    * bigram (deterministic, oracle-reproducible). Typed one-pass kernel
+    * (a groupBy over exploded bigrams would shuffle corpus-sized token
+    * streams; per-doc counting is embarrassingly narrow). */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i < toks.length - 1) {
+          val g = toks(i) + " " + toks(i + 1)
+          counts.merge(g, 1, Integer.sum)
+          i += 1
+        }
+        var bestG = ""
+        var bestN = 0L
+        counts.forEach { (g, n) =>
+          if (n > bestN || (n == bestN && bestN > 0 && g < bestG)) { bestG = g; bestN = n }
+        }
+        (id, toks.length.toLong, bestG, bestN)
+      })
+      .toDF(idCol, "n_tokens", "top_bigram", "top_bigram_n")
+  }
+
+  /** Deterministic corpus split (train/val/test) by a portable salted hash
+    * of the id — the standard leak-free way to partition a training corpus:
+    * membership is a pure function of the id, stable across runs, engines
+    * and corpus growth (a new document never reshuffles existing ones).
+    * `cuts` are cumulative percentages, e.g. (90, 95) -> 90% train,
+    * 5% val, 5% test. */
+  def deterministicSplit(docs: DataFrame, idCol: String = "doc_id",
+                         salt: String = "split",
+                         cuts: (Int, Int) = (90, 95)): DataFrame = {
+    val h = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 15),
+        16, 10).cast("long"),
+      lit(100))
+    docs.withColumn("split",
+      when(h < cuts._1, "train").when(h < cuts._2, "val").otherwise("test"))
+  }
 }

@@ -151,6 +151,50 @@ class TextAnalysisSpec extends GraftSpec {
   }
 }
 
+class CurationSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("repetitionStats: top bigram with deterministic tie-break; degenerate docs") {
+    val docs = Seq(
+      (1L, "a b a b a b c"),     // "a b" x3, "b a" x2
+      (2L, "x y z"),             // all bigrams unique -> tie -> smallest
+      (3L, "solo"),              // no bigram
+      (4L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((7L, "a b", 3L)))
+    assert(out(2L) == ((3L, "x y", 1L)), "tie must break to smallest bigram")
+    assert(out(3L) == ((1L, "", 0L)))
+    assert(out(4L) == ((1L, "", 0L))) // split of "" yields one empty token
+  }
+
+  test("contaminationOverlap: planted leak found, clean docs score zero") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 2 shingles
+      (2L, "one two three four five"),        // disjoint
+      (3L, "zz alpha beta gamma yy")          // shares 1 ("alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.contaminationOverlap(corpus, bench, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("deterministicSplit: stable membership, roughly weighted, grows without reshuffle") {
+    val docs = (0L until 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val s1 = graft.operators.TextAnalysis.deterministicSplit(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val byS = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byS("train") > 850 && byS("train") < 950, s"train=${byS("train")}")
+    assert(byS.keySet == Set("train", "val", "test"))
+    // growth stability: the first 500 docs keep their split when 500 more exist
+    val s2 = graft.operators.TextAnalysis.deterministicSplit(
+        (0L until 500L).map(i => (i, s"t$i")).toDF("doc_id", "text"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s2.forall { case (id, sp) => s1(id) == sp })
+  }
+}
+
 class MultimodalSpec extends GraftSpec {
   import spark.implicits._
 
