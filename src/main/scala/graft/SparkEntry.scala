@@ -453,6 +453,19 @@ object SparkEntry {
         .withColumn("contaminated", (col("shared") >= 2).cast("int"))
     }),
 
+    // --- text: PII masking (emails/phones) — the corpus is PII-free by
+    // construction, so deterministic synthetic PII is appended identically
+    // on both engines; patterns are RE2-compatible so DuckDB applies the
+    // exact same mask semantics
+    "q_txt_pii_mask" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-4567 and x"), col("doc_id"),
+          lit("@sub.example.org")))
+      TextAnalysis.maskPii(withPii)
+        .select("doc_id", "n_emails", "n_phones", "masked")
+    }),
+
     // --- deterministic leak-free train/val/test split (portable salted
     // hash of the id: stable across runs, engines and corpus growth)
     "q_sample_split" -> ((s, dir) => {
@@ -979,6 +992,19 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(hits.shared, 0)::BIGINT AS shared,
         |       (coalesce(hits.shared, 0) >= 2)::INT AS contaminated
         |FROM documents d LEFT JOIN hits USING (doc_id) WHERE d.doc_id >= 5""".stripMargin,
+
+    "q_txt_pii_mask" ->
+      """WITH g AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-123-4567 and x'
+        |         || doc_id::VARCHAR || '@sub.example.org' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b'))::BIGINT AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b', '<PHONE>', 'g') AS masked
+        |FROM g""".stripMargin,
 
     "q_sample_split" ->
       """SELECT doc_id,

@@ -108,6 +108,23 @@ object TextAnalysis {
       .toDF(idCol, "n_tokens", "top_bigram", "top_bigram_n")
   }
 
+  /** PII scrubbing (training-data curation staple): mask email addresses
+    * and NANP-style phone numbers with placeholder tokens and count the
+    * replacements. Patterns are RE2-compatible (no lookarounds/backrefs)
+    * so any engine — and the DuckDB oracle — applies identical semantics.
+    * Pure Column expressions: the scan -> scrub pipeline stays one
+    * codegen'd pass, no shuffle. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b"
+
+  def maskPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(emailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(phoneRe)).cast("long"))
+      .withColumn("masked",
+        regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+  }
+
   /** Deterministic corpus split (train/val/test) by a portable salted hash
     * of the id — the standard leak-free way to partition a training corpus:
     * membership is a pure function of the id, stable across runs, engines

@@ -180,6 +180,22 @@ class CurationSpec extends GraftSpec {
     assert(out == Map(1L -> 2L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("maskPii: emails and phones masked with exact counts; clean text untouched") {
+    val docs = Seq(
+      (1L, "reach me at jo.doe+spam@mail.example.co.uk today"),
+      (2L, "call 555-123-4567 or 555 987 6543 now"),
+      (3L, "no pii here at all"),
+      (4L, "a@b.io and 111-222-3333 mixed")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.maskPii(docs)
+      .select("doc_id", "n_emails", "n_phones", "masked")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((1L, 0L, "reach me at <EMAIL> today")))
+    assert(out(2L) == ((0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(out(3L) == ((0L, 0L, "no pii here at all")))
+    assert(out(4L) == ((1L, 1L, "<EMAIL> and <PHONE> mixed")))
+  }
+
   test("deterministicSplit: stable membership, roughly weighted, grows without reshuffle") {
     val docs = (0L until 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val s1 = graft.operators.TextAnalysis.deterministicSplit(docs)
