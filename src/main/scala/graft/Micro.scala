@@ -21,6 +21,34 @@ object Micro {
         time(s"$q#$r")(SparkEntry.queries(q)(spark, dir).count())
       spark.stop(); return
     }
+    if (sys.env.contains("EXTRACT_SCALE")) {
+      // pure-COMPUTE scaling probe: extraction + checksum, zero writes —
+      // isolates how much of the e2e efficiency gap is the kernel write
+      // wall vs the compute path itself. Input = stored page table (same
+      // shape as the e2e bench); result forced via an order-insensitive
+      // checksum aggregate.
+      val pages = sys.env("EXTRACT_SCALE").toLong
+      val root = Bench.scratchRoot("micro_extract")
+      graft.sources.PageGen.snapshot(spark, pages, 0)
+        .write.mode("overwrite").parquet(root + "/pages")
+      val stored = spark.read.parquet(root + "/pages")
+      // JIT warmup on a slice, then the timed passes
+      def pass(df: org.apache.spark.sql.DataFrame): Long =
+        graft.extract.TypedExtractor.pageQuads(df)
+          .agg(bit_xor(xxhash64(col("s"), col("p"), col("oLex"), col("g"))))
+          .head().getLong(0)
+      pass(stored.limit(20000))
+      for (r <- 1 to 2) time(s"extract+checksum#$r (no writes)")(pass(stored))
+      // + ONE corpus shuffle (the support aggregation shape), still no sink
+      def passAgg(df: org.apache.spark.sql.DataFrame): Long =
+        graft.extract.TypedExtractor.pageQuads(df)
+          .groupBy("s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
+          .agg(count(lit(1)).as("n"))
+          .agg(bit_xor(xxhash64(col("s"), col("n")))).head().getLong(0)
+      passAgg(stored.limit(20000))
+      for (r <- 1 to 2) time(s"extract+agg+checksum#$r (1 shuffle)")(passAgg(stored))
+      spark.stop(); return
+    }
     if (sys.env.contains("EXPLAIN")) {
       val dir = "/root/testdata/sf0.01"
       for (q <- sys.env("EXPLAIN").split(",")) {
