@@ -209,6 +209,19 @@ object SparkEntry {
         .select("event_id", "fname", "cp", "iso")
     }),
 
+    // --- streaming-shape windowed aggregation: tumbling 1-day event-time
+    // windows per type — the exact expression Structured Streaming executes
+    // under a watermark (batch-mode here so DuckDB can mirror it; windows
+    // align at the epoch, so date_trunc('day') is the same bucketing)
+    "q_stream_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("double")).as("sv"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"),
+          floor(col("sv") * 100d + 0.5d).cast("long").as("sum_value_c2"))
+    }),
+
     // --- T2: checkpoint watermark filter (parse_trx_logs.sql:57-58)
     "q_t2_watermark_filter" -> ((s, dir) => {
       t(s, dir, "events")
@@ -708,6 +721,12 @@ object SparkEntry {
     "q_t2_watermark_filter" ->
       """SELECT event_type, count(*)::BIGINT AS n, strftime(max(ts), '%Y%m%d%H%M%S') AS max_ts14
         |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00' GROUP BY event_type""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |       count(*)::BIGINT AS n,
+        |       floor(sum(value::DOUBLE) * 100 + 0.5)::BIGINT AS sum_value_c2
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_kg_mentions" ->
       """SELECT DISTINCT doc_id, tok AS surface

@@ -55,6 +55,42 @@ class StreamSpec extends GraftSpec {
     assert(published == onDisk)
   }
 
+  test("stream restart resumes from the checkpoint: batch ids continue, no reprocessing") {
+    val root = tmpDir("rstream_root")
+    val inDir = tmpDir("rstream_in")
+    val cpDir = tmpDir("rstream_cp")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = false)
+    val n = 60L
+    pipe.bootstrap(PageGen.snapshot(spark, n, 0), "e1", "00000000000000")
+
+    def drop(snap: Int): Unit = {
+      val prev = PageGen.snapshot(spark, n, snap - 1).collect().map(p => p.url -> p).toMap
+      val cur = PageGen.snapshot(spark, n, snap)
+      val curMap = cur.collect().map(p => p.url -> p).toMap
+      val changed = cur.filter(p => !prev.contains(p.url) || prev(p.url).text != p.text)
+      val tombstones = prev.keys.filterNot(curMap.contains).toSeq
+        .map(u => graft.model.Page(u, new java.sql.Timestamp(0), Array.emptyByteArray, null, null))
+      changed.toDF().unionByName(spark.createDataset(tombstones).toDF())
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+
+    // run 1: first drop, then the query STOPS (AvailableNow)
+    drop(1)
+    val runner = new StreamRunner(spark, pipe)
+    assert(runner.runAvailableNow(inDir, cpDir, startBatchId = 1) >= 1)
+    val factsAfter1 = pipe.facts.latest.get
+
+    // restart with the SAME checkpoint dir after a second drop: the file
+    // source must skip run 1's files (no reprocessing — the engine would
+    // no-op them as already-committed batch ids, but the checkpoint makes
+    // the skip structural) and continue the micro-batch id sequence
+    drop(2)
+    assert(runner.runAvailableNow(inDir, cpDir, startBatchId = 1) >= 1)
+    assert(pipe.facts.latest.get > factsAfter1, "restart must commit NEW batches")
+    val expected = pipe.extractedQuads(PageGen.snapshot(spark, n, 2))
+    assert(QuadDiff.diff(pipe.currentQuads, expected).count() == 0)
+  }
+
   test("continuous (RUN_INTERVAL) trigger: two staggered drops -> two commits, same state") {
     val root = tmpDir("cstream_root")
     val inDir = tmpDir("cstream_in")
