@@ -30,7 +30,8 @@ object Bench {
     "q_dedup_minhash_pairs", "q_dedup_simhash_pairs",
     "q_dedup_ngram_jaccard", "q_ann_brute_topk", "q_ann_lsh_topk",
     "q_ann_ivf_topk", "q_txt_fingerprint",
-    "q_kg_patchlines", "q_mm_media_meta")
+    "q_kg_patchlines", "q_mm_media_meta",
+    "q_graph_adjacency", "q_stream_window")
 
   def mkSession(cpus: String): SparkSession = {
     // shuffle spill dir on tmpfs when available: the bench measures compute
