@@ -110,13 +110,19 @@ object Multimodal {
     }
 
     private def decodeWav(b: Array[Byte]): Option[(String, Int, Int)] = {
-      var o = 12
+      // the cursor and chunk size are UNSIGNED and tracked in Long: a
+      // malformed/adversarial size like 0xFFFFFFF8 read signed (-8) makes
+      // the step non-advancing — an infinite loop inside an executor task
+      // fed arbitrary crawled bytes. Long math keeps the step >= 8, so the
+      // cursor strictly advances and any overflow just exits the loop.
+      var o: Long = 12L
       while (o + 8 <= b.length) {
-        val id = new String(b, o, 4, "US-ASCII")
-        val size = leU32(b, o + 4)
-        if (id == "fmt " && o + 16 <= b.length)
-          return Some(("wav", leU32(b, o + 12), leU16(b, o + 10)))
-        o += 8 + size + (size & 1) // chunks are word-aligned
+        val oi = o.toInt
+        val id = new String(b, oi, 4, "US-ASCII")
+        val size = leU32(b, oi + 4) & 0xFFFFFFFFL
+        if (id == "fmt " && oi + 16 <= b.length)
+          return Some(("wav", leU32(b, oi + 12), leU16(b, oi + 10)))
+        o += 8L + size + (size & 1L) // chunks are word-aligned
       }
       None
     }

@@ -551,8 +551,19 @@ object ZipPublisher {
     val top = readFile(f, dumpPath)
     if (!top.contains("<sitemapindex")) parseDumpZips(top, g)
     else {
-      val chunkRx = """<sitemap><loc>[^<]*/([^/<]+\.xml)</loc></sitemap>""".r
-      chunkRx.findAllMatchIn(top).map(_.group(1)).toSeq.flatMap { n =>
+      // lenient chunk resolution: any <loc> inside a <sitemap> element,
+      // tolerating attributes/whitespace/newlines — a byte-exact regex
+      // silently returned ZERO entries for any formatting variation, which
+      // downstream is indistinguishable from an empty dump and would
+      // orphan-relist every published zip. Zero entries from a document
+      // that declares itself a sitemapindex is therefore a loud failure.
+      val chunkRx = """(?s)<sitemap\b[^>]*>.*?<loc\b[^>]*>\s*([^<]+?)\s*</loc>""".r
+      val names = chunkRx.findAllMatchIn(top)
+        .map(_.group(1).split('/').last).toSeq
+      if (names.isEmpty)
+        sys.error(s"sitemapindex at $dumpPath yielded no <sitemap><loc> chunk entries; " +
+          "refusing to treat a non-empty index as an empty dump")
+      names.flatMap { n =>
         val p = new Path(gDir, n)
         if (f.exists(p)) parseDumpZips(readFile(f, p), g) else Seq.empty
       }

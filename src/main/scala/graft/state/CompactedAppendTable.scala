@@ -20,7 +20,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - during the compaction write: orphan `gen_<k+1>` data, pointer still
   *    `gen_<k>` — the next compaction overwrites it;
   *  - after the flip, before the old-generation delete: stale `gen_<j>`
-  *    dirs — swept on every subsequent compaction (delete all != current).
+  *    dirs — swept on every subsequent compaction (delete all != current);
+  *  - pointer lost mid-replace (the delete-then-rename window, or manual
+  *    damage): readers resolve to the NEWEST generation dir carrying
+  *    Spark's `_SUCCESS` commit marker — never a swept gen_0 — so the
+  *    table stays visible. A fully-written-but-unflipped `gen_<k+1>`
+  *    resolving this way is equivalent content (the compaction is a
+  *    full rewrite of the same rows).
+  *
+  * Legacy layout: a root dir holding flat `*.parquet` files (the
+  * pre-generation `mode("append")` layout) is migrated into `gen_0/` on
+  * first touch, so state written by earlier builds stays visible.
   */
 object CompactedAppendTable {
 
@@ -51,9 +61,44 @@ object CompactedAppendTable {
     if (!f.rename(tmp, p)) sys.error(s"pointer rename failed: $root -> $gen")
   }
 
-  /** Current generation data dir ("gen_0" before any pointer exists). */
+  /** Generation indices whose dirs carry a `_SUCCESS` commit marker (Spark
+    * writes one per successful parquet job; a compaction that crashed
+    * mid-write has none and must not be resolved to). */
+  private def committedGens(f: FileSystem, root: String): Seq[Int] = {
+    val rp = new Path(root)
+    if (!f.exists(rp)) Seq.empty
+    else f.listStatus(rp).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen_") &&
+        p.getName.stripPrefix("gen_").forall(_.isDigit) &&
+        f.exists(new Path(p, "_SUCCESS")))
+      .map(p => genIndex(p.getName)).toSeq
+  }
+
+  /** One-time migration of the legacy flat layout (root-level `*.parquet`
+    * from a plain `mode("append")` writer) into `gen_0/`, so pre-generation
+    * state dirs stay visible instead of silently reading as empty. Per-file
+    * renames; a crash mid-loop leaves the remaining flat files at root and
+    * the next touch finishes the move. */
+  private def migrateLegacy(f: FileSystem, root: String): Unit = {
+    val rp = new Path(root)
+    if (!f.exists(rp)) return
+    val flat = f.listStatus(rp).filter(s => s.isFile &&
+      (s.getPath.getName.endsWith(".parquet") || s.getPath.getName == "_SUCCESS"))
+    if (!flat.exists(_.getPath.getName.endsWith(".parquet"))) return
+    val g0 = new Path(root, "gen_0")
+    f.mkdirs(g0)
+    flat.foreach(s => f.rename(s.getPath, new Path(g0, s.getPath.getName)))
+  }
+
+  /** Current generation data dir. Resolution order: pointer file; else the
+    * newest committed generation; else "gen_0" (empty table). */
   def currentDir(spark: SparkSession, root: String): String = {
-    val gen = readPointer(fs(spark, root), root).getOrElse("gen_0")
+    val f = fs(spark, root)
+    migrateLegacy(f, root)
+    val gen = readPointer(f, root).getOrElse {
+      committedGens(f, root).sorted.lastOption
+        .map(k => s"gen_$k").getOrElse("gen_0")
+    }
     s"$root/$gen"
   }
 

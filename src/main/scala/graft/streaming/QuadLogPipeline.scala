@@ -191,16 +191,17 @@ final class QuadLogPipeline(
     // A4 (vql_check_trx, dump_nquads.sql:75-78, 98-143): fingerprint the
     // input snapshot at the START of the dump; re-checked before the
     // completion trailer — a drifting source (concurrent inserts/deletes
-    // during the multi-pass dump) invalidates the dump loudly. The pass is
-    // submitted CONCURRENTLY with the extraction chain (its column-pruned
-    // scan rides under the CPU-bound extraction): like the reference's
-    // start-of-dump transaction-count read, it samples the start window,
-    // and any drift that persists to the end-of-dump re-check still trips
-    // the comparison.
+    // during the multi-pass dump) invalidates the dump loudly. The
+    // fingerprint COMPLETES before any extraction job is submitted: were it
+    // concurrent, drift landing during the fingerprint scan could be seen
+    // by both fp0 and the end-of-dump re-check while extraction had already
+    // read pre-drift rows — a torn snapshot would pass. The reference's
+    // vql_check_trx window covers the whole dump with no such blind spot;
+    // the small serial column-pruned scan is the price of that guarantee.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = sinkEc
-    val fFp0 = Future(timed("bootstrap.fingerprint")(snapshotFingerprint(pages)))
+    val fp0 = timed("bootstrap.fingerprint")(snapshotFingerprint(pages))
     val raw = rawQuads(pages)
     val contribData =
       if (!canonicalize) raw
@@ -244,7 +245,6 @@ final class QuadLogPipeline(
     Seq(rFiles, rIdx).collectFirst { case scala.util.Failure(e) => throw e }
     val files = rFiles.get
     val added = timed("bootstrap.addedCount")(sBack.count()) // parquet metadata count
-    val fp0 = Await.result(fFp0, Duration.Inf)
     // A4: re-check the fingerprint BEFORE any completion artifact exists —
     // the dump-report trailer is what tells external patch consumers the
     // dump is done (dump_nquads.sql:75-78 invalidates before declaring

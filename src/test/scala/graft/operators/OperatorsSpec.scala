@@ -278,6 +278,23 @@ class MultimodalSpec extends GraftSpec {
     // truncated containers must not throw
     assert(MediaHeaders.decode(png.take(12)).isEmpty)
     assert(MediaHeaders.decode(jpeg.take(9)).isEmpty)
+
+    // adversarial WAV: a chunk whose size field reads as -8 signed
+    // (0xFFFFFFF8) made the old cursor arithmetic non-advancing — an
+    // infinite loop in an executor task fed crawled bytes. Must terminate
+    // (unsigned math overshoots the buffer and exits) and return None.
+    val evilWav = "RIFF".getBytes("US-ASCII") ++ Array[Byte](100, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++
+      Array(0xf8, 0xff, 0xff, 0xff).map(_.toByte) ++ // size = -8 signed
+      Array.fill[Byte](32)(0)
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = done.submit(new java.util.concurrent.Callable[Option[(String, Int, Int)]] {
+        def call() = MediaHeaders.decode(evilWav)
+      })
+      assert(fut.get(5, java.util.concurrent.TimeUnit.SECONDS).isEmpty)
+    } finally done.shutdownNow()
   }
 
   test("Synth containers round-trip through MediaHeaders and java ImageIO-free checks") {

@@ -265,6 +265,57 @@ class PublishSpec extends GraftSpec {
     assert(members2.distinct.size == members2.size, "duplicate entries after evolution")
   }
 
+  test("sitemapindex read tolerates attribute/whitespace variation; empty index fails loudly") {
+    val src = tmpDir("publ_src"); val sink = tmpDir("publ_sink")
+    (0 until 7).foreach(writePatch(src, _))
+    ZipPublisher.publish(spark, src, sink, filesPerZip = 1, maxItemsInList = 3)
+    val dumpPath = Paths.get(s"$sink/$g64/resource-dump.xml")
+    val top = Files.readString(dumpPath)
+    assert(top.contains("<sitemapindex"))
+    // reformat the index the way another ResourceSync producer might:
+    // attributes on <sitemap>, <loc> split across lines with padding. The
+    // old byte-exact regex parsed this as ZERO chunks == an empty dump ->
+    // every published zip re-listed as an orphan.
+    val varied = top
+      .replace("<sitemap><loc>", "<sitemap lastmod=\"2024-01-01\">\n    <loc >\n      ")
+      .replace("</loc></sitemap>", "\n    </loc>\n  </sitemap>")
+    // (writes below bypass hadoop's LocalFileSystem, so drop its .crc
+    // sidecar or readback trips ChecksumException instead of parsing)
+    def rawWrite(content: String): Unit = {
+      Files.writeString(dumpPath, content)
+      Files.deleteIfExists(Paths.get(s"$sink/$g64/.resource-dump.xml.crc"))
+    }
+    rawWrite(varied)
+    // touch the graph with one new patch: the metadata rewrite reads the
+    // reformatted index back (readDump) and must still see all 7 prior
+    // defs — a misparse-as-empty would re-list them as orphans/dupes
+    writePatch(src, 7)
+    val r = ZipPublisher.publish(spark, src, sink, filesPerZip = 1,
+      maxItemsInList = 3)
+    assert(r.size == 1, s"expected exactly the one new zip, got $r")
+    val members = {
+      val t = Files.readString(dumpPath)
+      val locRx = """(?s)<loc\b[^>]*>\s*([^<]+?)\s*</loc>""".r
+      locRx.findAllMatchIn(t).map(_.group(1).split('/').last).toSeq.flatMap { n =>
+        val zipRx = """<loc>[^<]*/([^/<]+\.zip)</loc>""".r
+        zipRx.findAllMatchIn(Files.readString(Paths.get(s"$sink/$g64/$n"))).map(_.group(1))
+      }
+    }
+    assert(members.sorted == (0 until 8).map(i => f"part_def_$i%05d.zip").sorted)
+    assert(members.distinct.size == members.size, "duplicates after lenient re-read")
+
+    // a self-declared sitemapindex with no resolvable entries is a loud
+    // failure, never silently an empty dump
+    rawWrite(
+      "<?xml version=\"1.0\"?><sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\"></sitemapindex>")
+    writePatch(src, 8)
+    val e = intercept[Exception] {
+      ZipPublisher.publish(spark, src, sink, filesPerZip = 1, maxItemsInList = 3)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("sitemapindex"),
+      s"wrong failure: $e")
+  }
+
   test("crash after state with a PRIOR end part: the older superseded end is purged too") {
     val src = tmpDir("pubp_src"); val sink = tmpDir("pubp_sink")
     // run 1 (clean): 2 files -> part_end_00000 with full metadata
