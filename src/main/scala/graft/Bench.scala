@@ -55,6 +55,22 @@ object Bench {
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       // fewer, larger write syscalls on the same path
       .config("spark.shuffle.file.buffer", "1m")
+      // raw local FS for file: sinks — Hadoop's default LocalFileSystem is
+      // a ChecksumFileSystem: every written byte is CRC'd into a .crc
+      // sidecar (doubling file creations) and every read-back verifies it.
+      // The pipeline re-reads its committed parquet constantly (facts/
+      // contrib bucket reads, patch sources), so the checksum layer taxes
+      // BOTH sides of the single-box kernel write wall the scaling residual
+      // lives in. On tmpfs it protects nothing; a real deployment's
+      // HDFS/S3 layer carries its own integrity checks.
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // lz4 parquet: measured on this box (graft.Micro PARQUET_SCALE,
+      // 10M quad-shaped rows) — write cost ≈ snappy, but READ-back is
+      // 3-4x faster (0.5s vs 1.7-2.2s) and flat across core counts. The
+      // pipeline re-reads its committed stores many times per batch
+      // (facts/contrib scans, patch sources, dump), so decode sits on the
+      // critical path; snappy's decode was pure non-scaling overhead.
+      .config("spark.sql.parquet.compression.codec", "lz4")
       // (zstd shuffle/parquet compression was MEASURED here and rejected:
       // it shrank bytes but its compressor CPU sits inside the write tasks
       // and cost the 32-core level more than the IO it saved — 139.0s vs

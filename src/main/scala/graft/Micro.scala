@@ -88,6 +88,77 @@ object Micro {
         .write.mode("overwrite").partitionBy("bucket").parquet(out + "/p2"))
       spark.stop(); return
     }
+    if (sys.env.contains("SKEW_STRESS")) {
+      // adversarial-skew probe at scale (north rule: "skew handled
+      // explicitly"): EdgeGen's zipf-like corpus — one hub owning 10% of
+      // all edges — through adjacency materialization and distributed CC.
+      // The assertions are the ones that die under a naive plan: page
+      // degree bounded at pageSize (collect_list would buffer the hub's
+      // whole edge set), and CC convergence with correct hub labeling
+      // (unsalted min-joins route every hub edge through one task).
+      val nEdges = sys.env("SKEW_STRESS").toLong
+      val pageSize = 4096
+      val edges = graft.sources.EdgeGen.zipfEdges(spark, nEdges).localCheckpoint()
+      val adjEdges = edges.select(col("s"), col("d").as("e"))
+      time(s"skew adjacencyPages warm ($nEdges edges)") {
+        graft.plans.GraphMaterialize.adjacencyPages(adjEdges, numBuckets = 32,
+          pageSize = pageSize).agg(count(lit(1))).head()
+      }
+      val (nPages, maxDeg, total) = {
+        val t0 = System.nanoTime()
+        val r = graft.plans.GraphMaterialize.adjacencyPages(adjEdges, numBuckets = 32,
+          pageSize = pageSize)
+          .agg(count(lit(1)), max("degree"), sum("degree")).head()
+        println(f"[micro] skew adjacencyPages            ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+        (r.getLong(0), r.getInt(1), r.getLong(2))
+      }
+      assert(maxDeg <= pageSize, s"page degree $maxDeg exceeds bound $pageSize")
+      assert(total == nEdges, s"edge count drifted: $total != $nEdges")
+      println(s"[micro] skew pages=$nPages maxDegree=$maxDeg (bound $pageSize) " +
+        s"hubEdges=${nEdges / 10}")
+      val labels = time(s"skew distributed CC ($nEdges edges)") {
+        val l = graft.canon.ConnectedComponents
+          .run(spark, edges.toDF("src", "dst"), smallGraphCutoff = 0)
+        l.count(); l
+      }
+      val hubComp = labels.filter(col("component") === "hub0").count()
+      assert(hubComp == nEdges / 10 + 1, s"hub component $hubComp members")
+      println(s"[micro] skew CC hubComponent=$hubComp OK")
+      spark.stop(); return
+    }
+    if (sys.env.contains("PARQUET_SCALE")) {
+      // isolates the parquet SINK wall (the ~1.7x-of-4x phases in the e2e
+      // decomposition): quad-shaped rows -> parquet on tmpfs, per codec,
+      // write and read-back timed separately. Run pinned at 8 and 32 cores
+      // and compare speedups.
+      val rows = sys.env("PARQUET_SCALE").toLong
+      val out = Bench.scratchRoot("micro_pq")
+      val df = spark.range(0, rows)
+        .select(col("id"),
+          concat(lit("http://kg.example.org/entity/"), md5(concat(col("id").cast("string"), lit("s")))).as("s"),
+          concat(lit("http://kg.example.org/rel/"), pmod(col("id"), lit(40))).as("p"),
+          concat(lit("http://kg.example.org/entity/"), md5(concat(col("id").cast("string"), lit("o")))).as("oLex"),
+          lit(0).as("oKind"), lit(null.asInstanceOf[String]).as("oDtype"),
+          lit(null.asInstanceOf[String]).as("oLang"),
+          concat(lit("https://host"), pmod(col("id"), lit(97)), lit(".example.org/")).as("g"),
+          pmod(xxhash64(col("id")), lit(32)).cast("int").as("bucket"))
+        .localCheckpoint()
+      for (codec <- Seq("snappy", "none", "lz4", "zstd")) {
+        spark.conf.set("spark.sql.parquet.compression.codec", codec)
+        time(s"pq write codec=$codec warm")(df.write.mode("overwrite").parquet(s"$out/$codec"))
+        time(s"pq write codec=$codec")(df.write.mode("overwrite").parquet(s"$out/$codec"))
+        val sz = {
+          def du(f: java.io.File): Long =
+            if (f.isFile) f.length
+            else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+          du(new java.io.File(s"$out/$codec")) / (1 << 20)
+        }
+        println(s"  codec=$codec size=${sz}MB")
+        time(s"pq read codec=$codec")(spark.read.parquet(s"$out/$codec")
+          .agg(bit_xor(xxhash64(col("s")))).head())
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("CPU_BURN")) {
       time("cpu burn warm")(spark.range(0, 500000000L).selectExpr("bit_xor(xxhash64(id))").head())
       time("cpu burn 1")(spark.range(0, 40000000000L).selectExpr("bit_xor(xxhash64(id))").head())

@@ -495,11 +495,24 @@ object SparkEntry {
             lit(1000000007L))).as("fp"))
     }),
 
-    // --- multimodal: binary payload plumbing + stubbed decode metadata
+    // --- multimodal: REAL container metadata end to end — every doc gets a
+    // structurally valid PNG/JPEG/WAV/GIF payload (Multimodal.Synth, real
+    // CRCs) and every output field is parsed back from the container bytes
+    // by MediaHeaders (no codec library, no FakeCodec anywhere on this
+    // path); the oracle recomputes the closed forms + md5(text).
     "q_mm_media_meta" -> ((s, dir) => {
-      val media = Multimodal.withFakePayload(t(s, dir, "documents"))
-      Multimodal.metaColumns(media)
-        .withColumn("byte_len", col("byte_len").cast("long"))
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val (kind, payload) = Multimodal.realPayloadFor(id, text)
+          val (container, d1, d2) = Multimodal.MediaHeaders.decode(payload)
+            .getOrElse(sys.error(s"header parse failed for doc $id"))
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (id, kind, container, payload.length.toLong, d1.toLong, d2.toLong, md)
+        })
+        .toDF("doc_id", "kind", "container", "byte_len", "dim1", "dim2", "checksum")
     }),
 
     // --- multimodal: frame-sample fan-out (explode over stride sequence)
@@ -1043,7 +1056,21 @@ object SparkEntry {
     "q_mm_media_meta" ->
       """SELECT doc_id,
         |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
-        |  octet_length(encode(text))::BIGINT AS byte_len,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN (CASE WHEN (doc_id // 3) % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+        |    WHEN 1 THEN 'wav' ELSE 'gif' END AS container,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN octet_length(encode(text)) +
+        |      CASE WHEN (doc_id // 3) % 2 = 0 THEN 57 ELSE 23 END
+        |    WHEN 1 THEN 44 + octet_length(encode(text)) + octet_length(encode(text)) % 2
+        |    ELSE octet_length(encode(text)) + 17 + (octet_length(encode(text)) + 254) // 255
+        |  END::BIGINT AS byte_len,
+        |  CASE doc_id % 3 WHEN 0 THEN doc_id % 512 + 1
+        |    WHEN 1 THEN 8000 + doc_id % 32000
+        |    ELSE doc_id % 256 + 1 END::BIGINT AS dim1,
+        |  CASE doc_id % 3 WHEN 0 THEN (doc_id * 7) % 512 + 1
+        |    WHEN 1 THEN doc_id % 2 + 1
+        |    ELSE (doc_id * 3) % 256 + 1 END::BIGINT AS dim2,
         |  md5(text) AS checksum
         |FROM documents""".stripMargin,
 

@@ -313,11 +313,26 @@ object IriCanonicalizer {
   /** [[canonicalize]] for url-attributed contribution rows (keeps `url`).
     * `canonRows` defaults to -1 (= unknown) so the default can never
     * broadcast an unsized map — callers that want the broadcast fast path
-    * must pass a real count. */
+    * must pass a real count.
+    *
+    * The rewrite can collapse two of a page's distinct quads into one, so
+    * the result must be re-deduplicated per (url, quad). `urlGrouped=true`
+    * asserts the INPUT iterates each url's rows consecutively within a
+    * partition (extraction output: the per-page flatMap emits them
+    * together, and the broadcast joins are order-preserving narrow
+    * operators). Under that contract + a broadcast-sized map the dedup is
+    * a STREAMING per-url pass — a per-page hash set, zero exchanges —
+    * instead of a corpus-wide dropDuplicates shuffle on the full 8-column
+    * key (measured as a significant slice of the bootstrap commit). When
+    * the map is too big to broadcast the joins shuffle anyway, the
+    * grouping guarantee dies with them, and the code falls back to the
+    * global dropDuplicates. */
   def canonicalizeAttributed(quads: DataFrame, canon: DataFrame,
-                             canonRows: Long = -1L): DataFrame = {
+                             canonRows: Long = -1L,
+                             urlGrouped: Boolean = false): DataFrame = {
+    val broadcastable = canonRows >= 0 && canonRows <= broadcastRowLimit
     val cm = maybeBroadcast(canon, canonRows)
-    quads
+    val rewritten = quads
       .join(cm.withColumnRenamed("id", "s").withColumnRenamed("canonical", "sCanon"),
         Seq("s"), "left")
       .join(cm.withColumnRenamed("id", "oLex").withColumnRenamed("canonical", "oCanon"),
@@ -329,7 +344,32 @@ object IriCanonicalizer {
         when(col("oKind") === lit(graft.model.TermKind.Iri),
           coalesce(col("oCanon"), col("oLex"))).otherwise(col("oLex")).as("oLex"),
         col("oKind"), col("oDtype"), col("oLang"), col("g"))
-      .dropDuplicates("url", "s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
+    if (urlGrouped && broadcastable) dedupWithinUrlRuns(rewritten)
+    else rewritten.dropDuplicates("url", "s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
+  }
+
+  /** Narrow per-url-run dedup (see [[canonicalizeAttributed]]): keeps the
+    * first occurrence of each quad within a consecutive run of rows
+    * sharing a url. Memory = one PAGE's quad keys, never a partition's. */
+  private def dedupWithinUrlRuns(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      var curUrl: String = null
+      val seen = new java.util.HashSet[String]()
+      it.filter { r =>
+        val url = r.getString(0)
+        if (url != curUrl) { curUrl = url; seen.clear() }
+        val k = new java.lang.StringBuilder(96)
+        var i = 1
+        while (i < 8) {
+          if (r.isNullAt(i)) k.append('\u0001')
+          else k.append(r.get(i).toString)
+          k.append('\u0000')
+          i += 1
+        }
+        seen.add(k.toString)
+      }
+    }(enc)
   }
 
   /** Rewrite quad subject/object IRIs through the canonical map.

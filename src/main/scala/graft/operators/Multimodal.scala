@@ -165,6 +165,20 @@ object Multimodal {
         Array[Byte](0xff.toByte, 0xd9.toByte)
     }
 
+    /** Minimal GIF89a: header + logical screen descriptor (no GCT), the
+      * content carried as a comment extension (0x21 0xFE, 255-byte
+      * sub-blocks), then the 0x3B trailer. Total length =
+      * content.length + 17 + ceil(content.length/255) (each sub-block
+      * spends one length byte; 13 header + 2 ext intro + 1 block
+      * terminator + 1 trailer). */
+    def gif(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+      def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      val header = "GIF89a".getBytes("US-ASCII") ++ le16(width) ++ le16(height) ++
+        Array[Byte](0, 0, 0) // no GCT, bg 0, no aspect
+      val blocks = content.grouped(255).flatMap(b => (b.length.toByte +: b.toSeq)).toArray
+      header ++ Array[Byte](0x21, 0xFE.toByte) ++ blocks ++ Array[Byte](0, 0x3B)
+    }
+
     /** Minimal WAV: RIFF/WAVE + PCM fmt chunk + data chunk = `content`. */
     def wav(sampleRate: Int, channels: Int, content: Array[Byte]): Array[Byte] = {
       def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
@@ -195,6 +209,26 @@ object Multimodal {
         case "video" => (1 + math.floorMod(h, 240).toInt, 30)
         case _ => (payload.length, 0)
       }
+    }
+  }
+
+  /** REAL-container payload synthesis for a doc (closed-form dims, so a
+    * SQL oracle can recompute every field): image alternates PNG/JPEG,
+    * audio is PCM WAV, video is GIF89a — all structurally valid (real
+    * CRCs/descriptors) around the doc's text bytes, all parsed back by
+    * [[MediaHeaders]] alone. This is the no-stub path: FakeCodec is never
+    * consulted for these payloads. */
+  def realPayloadFor(id: Long, text: String): (String, Array[Byte]) = {
+    val content = text.getBytes("UTF-8")
+    (id % 3) match {
+      case 0 =>
+        val w = (id % 512 + 1).toInt; val h = (id * 7 % 512 + 1).toInt
+        ("image", if ((id / 3) % 2 == 0) Synth.png(w, h, content)
+                  else Synth.jpeg(w, h, content))
+      case 1 =>
+        ("audio", Synth.wav((8000 + id % 32000).toInt, (id % 2 + 1).toInt, content))
+      case _ =>
+        ("video", Synth.gif((id % 256 + 1).toInt, (id * 3 % 256 + 1).toInt, content))
     }
   }
 

@@ -139,8 +139,13 @@ object PatchWriter {
         def flushFile(): Unit = if (curKey != null && !buf.isEmpty) {
           val b64 = curKey._1
           val p = new Path(new Path(out, s"g_b64=$b64"), f"rdf_out_$checkpoint-$nextSerial%014d")
+          // 1 MB writer buffer over a 1 MB stream buffer (hadoop's create()
+          // default is 4 KB): a maxq-row chunk leaves in a handful of large
+          // write syscalls instead of thousands of page-sized ones — the
+          // syscall path is the one resource that does not scale with
+          // cores on a single box (BENCH.md §Scaling residual)
           val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-            fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+            fs.create(p, true, 1 << 20), java.nio.charset.StandardCharsets.UTF_8), 1 << 20)
           headerLines(checkpoint, curG, b64, buf.size).foreach { l => w.write(l); w.write('\n') }
           val n = buf.size
           var i = 0

@@ -72,6 +72,29 @@ object QuadDiff {
     (patches, newState)
   }
 
+  /** [[supportTransition]] for MERGE-ON-READ commits: the state rows that
+    * actually CHANGED (quad ∈ delta, new support > 0) — exactly the delta
+    * additions whose keys the tombstones (= the delta's quads) cover.
+    * Rows of `state` outside `delta` pass through untouched and unemitted,
+    * so callers may prune `state` loosely (e.g. a hash-key semi join with
+    * false positives): a d-null row produces no patch and no addition. */
+  def supportTransitionDelta(state: DataFrame, delta: DataFrame): (DataFrame, DataFrame) = {
+    val joined = state.select((quadCols.map(col) :+ col("support")): _*)
+      .join(delta.select((quadCols.map(col) :+ col("d")): _*), quadCols, "full_outer")
+      .withColumn("oldSup", coalesce(col("support"), lit(0L)))
+      .withColumn("newSup", greatest(col("oldSup") + coalesce(col("d"), lit(0L)), lit(0L)))
+    val patches = joined
+      .withColumn("op",
+        when(col("oldSup") === 0L && col("newSup") > 0L, lit("+"))
+          .when(col("oldSup") > 0L && col("newSup") === 0L, lit("-")))
+      .filter(col("op").isNotNull)
+      .select((col("op") +: quadCols.map(col)): _*)
+    val changedState = joined
+      .filter(col("d").isNotNull && col("newSup") > 0L)
+      .select((quadCols.map(col) :+ col("newSup").as("support")): _*)
+    (patches, changedState)
+  }
+
   /** Patch application (property-test algebra: apply(diff(a,b), a) == b). */
   def apply(base: DataFrame, patch: DataFrame): DataFrame = {
     val adds = patch.filter(col("op") === "+").select(quadCols.map(col): _*)

@@ -103,6 +103,14 @@ object ZipPublisher {
   private def fs(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.get("GRAFT_TIMING").contains("1"))
+      println(f"[graft-timing] publish.$label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
+  }
+
   /** Run independent per-graph filesystem work on a bounded thread pool
     * (Hadoop FileSystem handles are thread-safe; each task touches only
     * its own graph directory). Surfaces the first failure only after all
@@ -241,7 +249,7 @@ object ZipPublisher {
     // inventory minus already-definitively-published resources; when the
     // pipeline's graph-folder index is supplied, the fan-out is driven by it
     // (syncdirector.py:107-115 walks subdirs only when FILE_INDEX exists)
-    val invAll = ManifestBuilder.build(spark, patchDir, filesPerZip)
+    val invAll = timed("inventory")(ManifestBuilder.build(spark, patchDir, filesPerZip))
       .drop("batch", "is_complete")
     val inv0 = graphIndex match {
       case None => invAll
@@ -265,7 +273,7 @@ object ZipPublisher {
     // one window; everything downstream stays declarative.
     val fpz = filesPerZip
     val mzb = maxZipBytes
-    val windowed = inv
+    val windowed0 = inv
       .select(col("graph_b64"), col("resource"), col("md5"),
         col("length").cast("long").as("length"), col("lastmod"))
       .repartition(col("graph_b64"))
@@ -304,17 +312,20 @@ object ZipPublisher {
         windows.flatten
       }
       .toDF()
-      .localCheckpoint() // consumed 3x below (end check, naming, zip build)
+    val windowedC = timed("windowedInventory") {
+      windowed0.localCheckpoint() // consumed 3x below (end check, naming, zip build)
+    }
 
     // existing sink state: tiny per-graph maps (one entry per graph)
-    val prevEnd: Map[String, (Int, Set[String])] = existingEndParts(spark, sinkDir)
-    val defIdx: Map[String, Int] = existingMaxIndex(spark, sinkDir, "part_def_")
+    val prevEnd: Map[String, (Int, Set[String])] = timed("scanEndParts")(existingEndParts(spark, sinkDir))
+    val defIdx: Map[String, Int] = timed("scanDefIdx")(existingMaxIndex(spark, sinkDir, "part_def_"))
     val endIdxMax: Map[String, Int] = existingMaxIndex(spark, sinkDir, "part_end_")
 
     // J3: per-graph end-part membership as (basename, md5) pairs — a member
     // whose CONTENT changed under the same name triggers a rebuild, exactly
     // the reference's resource+checksum identity (zipsynchronizer.py:
     // 149-156). ONE small row per graph comes back, never the file rows.
+    val windowed = windowedC
     val endMembership = windowed.filter(!col("is_complete"))
       .withColumn("base", regexp_extract(col("resource"), "([^/]+)$", 1))
       .select(col("graph_b64"), concat_ws("|", col("base"), col("md5")).as("m"))
@@ -423,17 +434,17 @@ object ZipPublisher {
     // and including the state append deletes every artifact this run
     // created (def and end) and re-raises.
     val built = try {
-      val rows = buildJob.collect()
+      val rows = timed("zipBuild")(buildJob.collect())
       if (rows.isEmpty) return Seq.empty
       onBuiltForTests(rows.map { case (g, name, complete, n, len, md5v, lastmod, _) =>
         ZipInfo(g, name, complete, n, len, md5v, lastmod) }.toSeq)
       // published-state bookkeeping: complete-zip members, written
       // distributed; compacted-append layout bounds the state's file count
       // across thousands of publish runs, sized ~4M member rows per file
-      graft.state.CompactedAppendTable.append(spark, stateDir,
+      timed("stateAppend")(graft.state.CompactedAppendTable.append(spark, stateDir,
         assigned.filter(col("is_complete"))
           .select(col("resource"), col("zipName").as("zip")),
-        targetFiles = rowsTotal => (rowsTotal / 4000000L + 1L).toInt)
+        targetFiles = rowsTotal => (rowsTotal / 4000000L + 1L).toInt))
       rows
     } catch {
       case e: Throwable =>
@@ -445,29 +456,33 @@ object ZipPublisher {
     // (orphan recovery in the dump-xml regeneration)
     onPublishedForTests()
 
-    // driver: sidecar XMLs + per-graph metadata (all of it over the per-ZIP
-    // summaries — one row per thousand patch files)
-    val summaries = scala.collection.mutable.ArrayBuffer.empty[ZipInfo]
+    // sidecar XMLs (per zip) are written inside the per-graph PARALLEL
+    // metadata pass below — as a serial driver loop they were the measured
+    // linear tail of a many-graph publish (O(zips) tmp+rename round-trips)
     val nowIso = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
-    built.foreach { case (g, name, complete, n, len, md5v, lastmod, manifest) =>
-      val gDir = new Path(sinkDir, g)
-      writeFile(f, new Path(gDir, s"manifest_$name.xml"), manifest)
-      if (!complete) {
-        // end-part resource list sidecar (create_zip write_list=True)
-        writeFile(f, new Path(gDir, s"$name.xml"), manifest)
-      }
-      summaries += ZipInfo(g, name, complete, n, len, md5v, lastmod)
+    val builtInfos: Seq[(ZipInfo, String)] = built.toSeq.map {
+      case (g, name, complete, n, len, md5v, lastmod, manifest) =>
+        (ZipInfo(g, name, complete, n, len, md5v, lastmod), manifest)
     }
+    val summaries = scala.collection.mutable.ArrayBuffer.empty[ZipInfo]
+    summaries ++= builtInfos.map(_._1)
 
     // per-graph resource-dump.xml (accumulating: previous defs stay listed).
     // Graphs are independent (disjoint directories) — the metadata writes
     // run on a small thread pool: serially this driver loop is O(graphs)
     // of filesystem round-trips, the publish tail's bottleneck once the
     // graph count is large.
-    forEachParallel(summaries.groupBy(_.graph_b64).toSeq) { case (g, zs) =>
+    timed("graphMetadata")(forEachParallel(builtInfos.groupBy(_._1.graph_b64).toSeq) { case (g, zPairs) =>
+      val zs = zPairs.map(_._1)
       val gDir = new Path(sinkDir, g)
       val gUrl = s"$publishUrl$g/"
+      // per-zip sidecars first (create_zip write_list=True semantics)
+      zPairs.foreach { case (zi, manifest) =>
+        writeFile(f, new Path(gDir, s"manifest_${zi.zipName}.xml"), manifest)
+        if (!zi.complete)
+          writeFile(f, new Path(gDir, s"${zi.zipName}.xml"), manifest)
+      }
       val already: Seq[ZipInfo] = readDump(f, gDir, g)
       // EVERY listed end part is provisional by definition: this run
       // recomputed the full unpublished inventory, so an end entry it did
@@ -495,13 +510,13 @@ object ZipPublisher {
       if (!f.exists(capaPath))
         writeFile(f, capaPath,
           capabilityListXml(gUrl, s"$publishUrl.well-known/resourcesync"))
-    }
+    })
 
     // stale-end sweep over EVERY graph dir (not just this run's): delete
     // superseded part_end zips/sidecars and repair any dump xml whose end
     // entries disagree with the on-disk current end — the do_publish tail,
     // hardened against crashes in past runs' metadata windows.
-    sweepStaleEnds(f, sinkDir, publishUrl, summaries.toSeq, nowIso, maxItemsInList)
+    timed("sweepStaleEnds")(sweepStaleEnds(f, sinkDir, publishUrl, summaries.toSeq, nowIso, maxItemsInList))
 
     // top-level source description over every graph dir with a capability list
     val graphs = f.listStatus(new Path(sinkDir)).filter(_.isDirectory)

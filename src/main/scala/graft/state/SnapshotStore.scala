@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
 
-/** Iceberg-lite bucketed copy-on-write table with atomic snapshot commits.
+/** Iceberg-lite bucketed table with atomic snapshot commits, copy-on-write
+  * full/bucket rewrites AND merge-on-read delta commits.
   *
-  * No Iceberg jar ships in /opt/spark/jars, so we emulate the three Iceberg
-  * behaviors the pipeline needs (SURVEY.md §7.3) behind this interface:
+  * No Iceberg jar ships in /opt/spark/jars, so we emulate the behaviors the
+  * pipeline needs (SURVEY.md §7.3) behind this interface:
   *
   *  1. snapshot isolation / atomic visibility — data lands under
   *     `snap_<id>/bucket=<b>/`, then a manifest file and finally the
@@ -16,11 +17,27 @@ import java.nio.charset.StandardCharsets
   *     `_latest` -> manifest -> per-bucket paths; a crashed writer leaves
   *     only unreferenced files. This replaces the reference's sham-file /
   *     skip-last visibility protocol (generate-rdfpatch.sh:54, 259-261).
-  *  2. MERGE INTO at bucket granularity — a commit rewrites only the buckets
-  *     it touches; the manifest carries every other bucket's path forward
-  *     unchanged (copy-on-write without copying the unchanged 99%).
-  *  3. incremental reads — `readBuckets` loads only named buckets, and the
-  *     per-bucket parquet keeps min/max stats so pushed filters prune files.
+  *  2. MERGE INTO — two physical strategies, as in a real lakehouse:
+  *     copy-on-write ([[stageMerge]]: rewrite whole touched buckets) and
+  *     merge-on-read ([[stageDelta]]: append O(batch) addition + tombstone
+  *     files; readers fold the chain). MOR is what makes incremental
+  *     batches O(batch): with a uniformly hash-bucketed key, ANY touched
+  *     url set hits every bucket, so bucket-granularity COW degenerates to
+  *     rewriting the entire store each batch — measured as over half the
+  *     incremental wall time, and at 10^12-document scale simply
+  *     impossible. Delta chains are bounded by `maxDeltas`: the commit
+  *     that would exceed it folds the chain into a fresh full base
+  *     (amortized O(store/maxDeltas) per batch).
+  *  3. incremental reads — `readBuckets` loads (and folds) only named
+  *     buckets; per-bucket parquet keeps min/max stats so pushed filters
+  *     prune files.
+  *
+  * Delta-commit contract: a batch's tombstones must cover its own
+  * additions' `deleteKeys` (the natural MERGE shape — you delete the old
+  * versions of exactly the keys you rewrite). Under that contract the fold
+  * is associative and implemented as ONE join: a row (tagged with its
+  * writing snapshot) survives iff no strictly-later delta tombstones its
+  * key.
   *
   * Rename is atomic on HDFS-like filesystems (and the local FS used here);
   * an object-store deployment would swap this class for a real catalog —
@@ -29,8 +46,14 @@ import java.nio.charset.StandardCharsets
   * The table is hash-bucketed by a caller-chosen key column:
   * `bucket = pmod(xxhash64(key), numBuckets)` — uniform by construction, so
   * no bucket-level skew regardless of key skew.
+  *
+  * @param deleteKeys columns identifying rows for MOR tombstones (empty =
+  *                   store is COW-only; stageDelta refuses)
+  * @param maxDeltas  delta-chain length that triggers fold-to-base
   */
-final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int) {
+final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int,
+                          val deleteKeys: Seq[String] = Seq.empty,
+                          val maxDeltas: Int = 4) {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
@@ -64,15 +87,24 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
 
   private def manifestPath(id: Long) = new Path(root, f"manifest_$id%014d.txt")
 
-  /** manifest: one `bucket<TAB>path` line per bucket. */
-  private def readManifest(id: Long): Map[Int, String] = {
+  /** Manifest: one `bucket<TAB>path` line per base bucket, plus zero or
+    * more ordered `D<TAB>snapId` lines for the merge-on-read delta chain
+    * (delta data lives at `snap_<id>/add` and `snap_<id>/tomb`). */
+  private def readManifest(id: Long): (Map[Int, String], Seq[Long]) = {
     val in = fs.open(manifestPath(id))
     val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
       StandardCharsets.UTF_8) finally in.close()
-    text.split("\n").filter(_.nonEmpty).map { l =>
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val base = lines.filterNot(_.startsWith("D\t")).map { l =>
       val Array(b, p) = l.split("\t", 2); b.toInt -> p
     }.toMap
+    val deltas = lines.filter(_.startsWith("D\t")).map(_.stripPrefix("D\t").trim.toLong).toSeq
+    (base, deltas)
   }
+
+  private def manifestText(base: Map[Int, String], deltas: Seq[Long]): String =
+    ((0 until numBuckets).map(b => s"$b\t${base.getOrElse(b, "")}") ++
+      deltas.map(d => s"D\t$d")).mkString("\n")
 
   // --- commits -------------------------------------------------------------
 
@@ -92,9 +124,47 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     val dataDir = new Path(root, f"snap_$id%014d").toString
     df.repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
-    val entries = (0 until numBuckets)
-      .map(b => s"$b\t$dataDir/bucket=$b").mkString("\n")
-    writeAtomic(manifestPath(id), entries)
+    val base = (0 until numBuckets).map(b => b -> s"$dataDir/bucket=$b").toMap
+    writeAtomic(manifestPath(id), manifestText(base, Seq.empty))
+  }
+
+  /** Stage a MERGE-ON-READ delta commit: O(batch) writes regardless of
+    * store size. `additions` must carry the store schema incl. `bucket`;
+    * `tombstones` must carry `deleteKeys` + `bucket` and COVER the
+    * additions' keys (see class doc). When the resulting chain would exceed
+    * `maxDeltas`, the chain (with this batch applied) is folded into a
+    * fresh full base instead — the store-sized rewrite every caller batch
+    * used to pay, now amortized to one in `maxDeltas`. */
+  def stageDelta(additions: DataFrame, tombstones: DataFrame, id: Long): Unit = {
+    require(deleteKeys.nonEmpty, s"stageDelta on a COW-only store: $root")
+    val prevId = latest.getOrElse(sys.error("stageDelta on empty store"))
+    val (base, deltas) = readManifest(prevId)
+    if (deltas.size >= maxDeltas) {
+      // fold chain + this batch into a new base (one store-sized job)
+      val folded = assemble(base, deltas, None)
+        .getOrElse(sys.error(s"empty store under non-empty manifest: $root"))
+      val applied = folded
+        .join(tombstones.select(deleteKeys.map(col): _*).distinct(), deleteKeys, "left_anti")
+        .unionByName(additions.select(folded.columns.map(col): _*))
+      stageFull(applied, id)
+    } else {
+      val snapDir = new Path(root, f"snap_$id%014d").toString
+      // one exchange keyed by bucket -> ~one file per bucket per delta
+      // (additions are O(batch); a fixed fan-out would write tiny files)
+      additions.repartition(numBuckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/add")
+      tombstones.select((deleteKeys :+ "bucket").map(col): _*)
+        .distinct()
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/tomb")
+      writeAtomic(manifestPath(id), manifestText(base, deltas :+ id))
+    }
+  }
+
+  /** [[stageDelta]] + pointer flip. */
+  def commitDelta(additions: DataFrame, tombstones: DataFrame, id: Long): Unit = {
+    stageDelta(additions, tombstones, id)
+    finalizeCommit(id)
   }
 
   /** Flip `_latest` to a previously staged snapshot (idempotent). */
@@ -116,10 +186,15 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     finalizeCommit(id)
   }
 
-  /** [[mergeBuckets]] without the `_latest` flip (see [[stageFull]]). */
+  /** [[mergeBuckets]] without the `_latest` flip (see [[stageFull]]).
+    * COW path: requires an empty delta chain (a bucket rewrite would
+    * silently orphan chained deltas of other buckets) — delta-committing
+    * callers use [[stageDelta]], whose fold restores chain-free state. */
   def stageMerge(newBucketData: DataFrame, affected: Seq[Int], id: Long): Unit = {
     val prevId = latest.getOrElse(sys.error("mergeBuckets on empty store"))
-    val prev = readManifest(prevId)
+    val (prev, chain) = readManifest(prevId)
+    require(chain.isEmpty,
+      s"stageMerge over a non-empty delta chain (${chain.size} deltas): $root")
     val dataDir = new Path(root, f"snap_$id%014d").toString
     if (affected.nonEmpty) {
       newBucketData
@@ -161,16 +236,107 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     }
   }
 
+  /** Bucket-pruned read of one delta dir (None when absent/empty). The
+    * `bucket` partition column comes back from the directory layout, so
+    * the isin filter prunes whole subdirs at planning time. */
+  private def loadDelta(dir: String, buckets: Option[Seq[Int]]): Option[DataFrame] = {
+    val p = new Path(dir)
+    if (!fs.exists(p) || !fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket=")))
+      None
+    else {
+      val df = spark.read.parquet(dir)
+      Some(buckets.fold(df)(bs => df.filter(col("bucket").isin(bs.map(Integer.valueOf): _*))))
+    }
+  }
+
+  /** Fold base + delta chain into the current logical content. One join:
+    * every row is tagged with the snapshot that wrote it (base = -1), all
+    * tombstones aggregate to (key -> latest tombstoning snapshot), and a
+    * row survives iff written at-or-after that snapshot — correct under
+    * the stageDelta contract (a delta's tombstones cover its own
+    * additions). The tombstone side is churn-sized, never store-sized, so
+    * the join broadcasts at sane scales and AQE picks the strategy. */
+  private def assemble(base: Map[Int, String], deltas: Seq[Long],
+                       buckets: Option[Seq[Int]]): Option[DataFrame] = {
+    val basePaths: Seq[(Int, String)] = buckets match {
+      case None => (0 until numBuckets).map(b => b -> base.getOrElse(b, ""))
+      case Some(bs) => bs.distinct.sorted.map(b => b -> base.getOrElse(b, ""))
+    }
+    val baseDf = load(basePaths)
+    if (deltas.isEmpty) return baseDf
+    val adds = deltas.flatMap { d =>
+      loadDelta(s"$root/${f"snap_$d%014d"}/add", buckets).map(df => d -> df)
+    }
+    val tombs = deltas.flatMap { d =>
+      loadDelta(s"$root/${f"snap_$d%014d"}/tomb", buckets).map(df => d -> df)
+    }
+    val tagged = (baseDf.map(df => -1L -> df).toSeq ++ adds).map { case (tag, df) =>
+      df.withColumn("_wtag", lit(tag))
+    }
+    if (tagged.isEmpty) return None
+    val cols = tagged.head.columns
+    val rows = tagged.map(_.select(cols.map(col): _*)).reduce(_ unionByName _)
+    if (tombs.isEmpty) return Some(rows.drop("_wtag"))
+    val tombMax = tombs.map { case (tag, df) =>
+      df.select(deleteKeys.map(col): _*).withColumn("_ttag", lit(tag))
+    }.reduce(_ unionByName _)
+      .groupBy(deleteKeys.map(col): _*).agg(max("_ttag").as("_ttag"))
+    // tombstone side is churn-sized; broadcast it EXPLICITLY while its
+    // on-disk footprint is small (file-length sum — no extra job) so the
+    // fold join stays a narrow pass over the store-sized stream. Past the
+    // gate it degrades to a shuffle join rather than a wrong broadcast.
+    val tombBytes = deltas.map { d =>
+      val p = new Path(s"$root/${f"snap_$d%014d"}/tomb")
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    val tombSide = if (tombBytes <= (64L << 20)) broadcast(tombMax) else tombMax
+    Some(rows.join(tombSide, deleteKeys, "left")
+      .filter(col("_ttag").isNull || col("_wtag") >= col("_ttag"))
+      .drop("_wtag", "_ttag"))
+  }
+
   /** Read the full latest snapshot (None if store empty or all buckets
-    * emptied). */
-  def read(): Option[DataFrame] =
-    latest.flatMap { id => load(readManifest(id).toSeq) }
+    * emptied). Folds any merge-on-read delta chain. */
+  def read(): Option[DataFrame] = latest.flatMap { id =>
+    val (base, deltas) = readManifest(id)
+    assemble(base, deltas, None)
+  }
 
   /** Read only the given buckets of the latest snapshot — the incremental-
-    * read path: IO ∝ touched buckets, not table size. */
+    * read path: IO ∝ touched buckets (base AND deltas are bucket-pruned),
+    * not table size. */
   def readBuckets(buckets: Seq[Int]): Option[DataFrame] = latest.flatMap { id =>
-    val m = readManifest(id)
-    load(buckets.distinct.sorted.map(b => b -> m.getOrElse(b, "")))
+    val (base, deltas) = readManifest(id)
+    assemble(base, deltas, Some(buckets))
+  }
+
+  /** Expire unreferenced snapshots (Iceberg's expire_snapshots analogue):
+    * delete every `snap_<k>` dir with k <= latest that the LATEST manifest
+    * references neither as a base bucket path nor as a chained delta, and
+    * every older manifest file. Without this, each fold-to-base strands a
+    * full dead base + chain on disk. Call only from the single writer,
+    * after all staged snapshots are finalized (dirs of snapshots NEWER
+    * than latest are never touched, so a staged-not-yet-final commit is
+    * safe). Crash mid-vacuum leaves garbage, never damage — only
+    * unreferenced dirs are deleted. */
+  def vacuum(): Unit = latest.foreach { id =>
+    val (base, deltas) = readManifest(id)
+    val live: Set[String] =
+      base.values.filter(_.nonEmpty).map(p => new Path(p).getParent.getName).toSet ++
+        deltas.map(d => f"snap_$d%014d").toSet
+    def numOf(name: String, prefix: String, suffix: String): Long =
+      name.stripPrefix(prefix).stripSuffix(suffix).toLong
+    val entries = fs.listStatus(new Path(root))
+    entries.filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("snap_") &&
+          numOf(p.getName, "snap_", "") <= id && !live.contains(p.getName)
+      }
+      .foreach(p => fs.delete(p, true))
+    entries.filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName.startsWith("manifest_") &&
+        numOf(p.getName, "manifest_", ".txt") < id)
+      .foreach(p => fs.delete(p, false))
   }
 
   /** Epoch handshake (reference vql_started_at.txt, T6 cascading reset). */

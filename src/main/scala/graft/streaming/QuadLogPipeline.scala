@@ -13,7 +13,9 @@ import graft.state.SnapshotStore
   * resourcesync-generator) as one incremental batch job over page snapshots.
   *
   * State layout (all three stores are [[SnapshotStore]]s: bucketed,
-  * copy-on-write, atomically committed):
+  * atomically committed; contrib/facts commit MERGE-ON-READ deltas per
+  * batch — O(batch) writes with bounded chains folded to a new base — the
+  * others are copy-on-write):
   *
   *  - `contrib`  — per-PAGE quad contributions, bucketed by xxhash64(url).
   *                 The unit of incremental work: a batch only ever touches
@@ -56,14 +58,21 @@ final class QuadLogPipeline(
     root: String,
     numBuckets: Int = 64,
     maxq: Int = 100000,
-    canonicalize: Boolean = true) {
+    canonicalize: Boolean = true,
+    maxDeltas: Int = 4) {
 
   import spark.implicits._
 
   graft.Preflight.assertSession(spark) // refuse to run misconfigured
 
-  val contrib = new SnapshotStore(spark, s"$root/contrib", numBuckets)
-  val facts = new SnapshotStore(spark, s"$root/facts", numBuckets)
+  // contrib/facts take MERGE-ON-READ deltas per batch (O(batch) commit
+  // writes; see SnapshotStore scaladoc — bucket-granularity COW rewrote the
+  // whole store every batch because touched urls hash into every bucket).
+  // Delete keys: contrib rows belong to a url; facts rows to a quad.
+  val contrib = new SnapshotStore(spark, s"$root/contrib", numBuckets,
+    deleteKeys = Seq("url"), maxDeltas = maxDeltas)
+  val facts = new SnapshotStore(spark, s"$root/facts", numBuckets,
+    deleteKeys = QuadDiff.quadCols, maxDeltas = maxDeltas)
   val canon = new SnapshotStore(spark, s"$root/canon", math.min(numBuckets, 8))
   /** A8 — first-seen graph dimension (split-graphs.sh:99-102's
     * vql_graph_folder.csv): (g, g_b64, firstBatch), insert-if-absent per
@@ -159,7 +168,10 @@ final class QuadLogPipeline(
       sum(when(col("id") =!= col("canonical"), 1L).otherwise(0L))).head()
     val rows = stats.getLong(0)
     val nonTrivial = rows > 0 && !stats.isNullAt(1) && stats.getLong(1) > 0L
-    if (nonTrivial) IriCanonicalizer.canonicalizeAttributed(quads, cmap, rows)
+    // every caller feeds extraction output (url-grouped within partitions),
+    // so the broadcast path deduplicates with the narrow streaming pass
+    if (nonTrivial) IriCanonicalizer.canonicalizeAttributed(quads, cmap, rows,
+      urlGrouped = true)
     else quads
   }
 
@@ -395,16 +407,38 @@ final class QuadLogPipeline(
     val factBuckets = timed("incr.factBuckets") {
       dC.select("bucket").distinct().as[Int].collect().toSeq.sorted
     }
-    val oldFacts = facts.readBuckets(factBuckets)
-      .getOrElse(dC.limit(0).drop("d").withColumn("support", lit(0L)))
-    val (patches0, newFactRows) = QuadDiff.supportTransition(
-      oldFacts.drop("bucket"), dC.drop("bucket"))
-    val patchesC = patches0.localCheckpoint() // small; read by write + tally
-
-    val keptOld = oldInBuckets match {
-      case df if df.columns.isEmpty => newContrib.limit(0)
-      case df => df.join(touchedUrls.select("url"), Seq("url"), "left_anti")
+    // PRUNE the old-facts side to the changed quads before the transition
+    // join: unchanged rows contribute no patch and no new state, and under
+    // merge-on-read they are carried forward by the base, untouched. The
+    // semi join is EXPLICITLY broadcast when the churn-key set is sane
+    // (xxhash-size-gated, same policy as the canon rewrite): that keeps the
+    // prune a NARROW pass over the store scan — no store-sized exchange
+    // anywhere in the batch. The pruned result is churn-sized; checkpoint
+    // it once so the transition join (now two churn-sized sides) feeds both
+    // the patch set and the delta additions without re-running the scan
+    // per sink. A pathological batch over the gate degrades to a shuffle
+    // semi — still narrower than the full-width outer it replaces.
+    // the prune key is a HASH of the quad (8 bytes/key instead of the full
+    // string row — a 450k-quad batch broadcasts ~4 MB, not ~135 MB, and
+    // the broadcast build was the scan's dominant cost). Hash collisions
+    // only let extra unchanged rows through the prune; the transition
+    // marks them d-null and supportTransitionDelta drops them from both
+    // patches and additions, so correctness never depends on the hash.
+    val nDelta = dC.count() // cheap: dC is localCheckpointed
+    val dKeysH = dC.select(xxhash64(quadKey: _*).as("_qh")).distinct()
+    val oldFacts = timed("incr.oldFactsScan") {
+      facts.readBuckets(factBuckets)
+        .getOrElse(dC.limit(0).drop("d").withColumn("support", lit(0L)))
+        .drop("bucket")
+        .withColumn("_qh", xxhash64(quadKey: _*))
+        .join(if (nDelta <= 20000000L) broadcast(dKeysH) else dKeysH,
+          Seq("_qh"), "left_semi")
+        .drop("_qh")
+        .localCheckpoint()
     }
+    val (patches0, newFactRows) = QuadDiff.supportTransitionDelta(
+      oldFacts, dC.drop("bucket"))
+    val patchesC = patches0.localCheckpoint() // small; read by write + tally
 
     // The four sink writes below are INDEPENDENT jobs over already-
     // checkpointed/committed inputs and different directories — submitted
@@ -422,15 +456,22 @@ final class QuadLogPipeline(
     // new graphs can only arrive with '+' patches — patchesC is checkpointed
     // and tiny, so the index merge costs no extra extraction pass
     val fIdx = Future(updateGraphIndex(patchesC, batchId))
+    // MERGE-ON-READ commits: O(batch) additions + tombstones, never a
+    // store-sized rewrite (SnapshotStore folds on read; every `maxDeltas`
+    // batches the chain folds into a fresh base). Tombstone coverage
+    // contract holds by construction: every newFactRows quad is in dC, and
+    // every newSide url is in touchedUrls.
     val fFacts = Future(timed("incr.mergeFacts") {
-      facts.stageMerge(newFactRows.withColumn("bucket", facts.bucketCol(quadKey: _*)),
-        factBuckets, batchId)
+      facts.stageDelta(
+        additions = newFactRows.withColumn("bucket", facts.bucketCol(quadKey: _*)),
+        tombstones = dC.select((quadKey :+ col("bucket")): _*),
+        id = batchId)
     })
     val fContrib = Future(timed("incr.mergeContrib") {
-      contrib.stageMerge(
-        keptOld.select(newContrib.columns.map(col): _*)
-          .unionByName(newSide.join(deletedUrls.toDF("url"), Seq("url"), "left_anti")),
-        affectedBuckets, batchId)
+      contrib.stageDelta(
+        additions = newSide.join(deletedUrls.toDF("url"), Seq("url"), "left_anti"),
+        tombstones = touchedUrls,
+        id = batchId)
     })
     // Await EVERY sink to settle before surfacing any failure: a rethrow
     // while sibling futures still run would let their zombie write jobs
@@ -461,6 +502,10 @@ final class QuadLogPipeline(
     if (canonicalize) canon.finalizeCommit(batchId)
     facts.finalizeCommit(batchId)
     contrib.finalizeCommit(batchId)
+    // expire snapshots the just-finalized commits unreferenced (folded
+    // bases, superseded full rewrites) — disk stays O(live state), not
+    // O(history). Single writer, everything finalized: safe window.
+    Seq(canon, facts, contrib, graphIdx).foreach(_.vacuum())
 
     touchedUrls.unpersist()
     BatchResult(batchId, added, deleted, files)

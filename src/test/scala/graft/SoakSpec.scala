@@ -12,9 +12,20 @@ class SoakSpec extends GraftSpec {
   import spark.implicits._
 
   test("soak: pipeline patches == ExpectedKg closed form across 3 batches") {
+    soak(maxDeltas = 4) // default chain: batches 1-3 stay merge-on-read
+  }
+
+  test("soak with maxDeltas=1: every batch folds the delta chain to a new base") {
+    // forces the compaction path (fold-to-base) inside live incremental
+    // commits — the default cell never crosses the chain bound
+    soak(maxDeltas = 1)
+  }
+
+  private def soak(maxDeltas: Int): Unit = {
     for (n <- Seq(120L)) {
-      val root = tmpDir(s"soak_$n")
-      val pipe = new QuadLogPipeline(spark, root, numBuckets = 8, canonicalize = true)
+      val root = tmpDir(s"soak_${n}_d$maxDeltas")
+      val pipe = new QuadLogPipeline(spark, root, numBuckets = 8, canonicalize = true,
+        maxDeltas = maxDeltas)
       pipe.bootstrap(PageGen.snapshot(spark, n, 0), "e1", "00000000000000")
       for (snap <- 1 to 3) {
         val changed = spark.createDataset(

@@ -303,9 +303,33 @@ class MultimodalSpec extends GraftSpec {
     assert(MediaHeaders.decode(Synth.png(1023, 7, content)).contains(("png", 1023, 7)))
     assert(MediaHeaders.decode(Synth.jpeg(510, 4096, content)).contains(("jpeg", 510, 4096)))
     assert(MediaHeaders.decode(Synth.wav(16000, 1, content)).contains(("wav", 16000, 1)))
+    assert(MediaHeaders.decode(Synth.gif(255, 99, content)).contains(("gif", 255, 99)))
     // length closed forms the oracle SQL relies on
     assert(Synth.png(10, 10, content).length == content.length + 57)
     assert(Synth.jpeg(10, 10, content).length == content.length + 23)
+    assert(Synth.wav(8000, 2, content).length ==
+      44 + content.length + content.length % 2)
+    assert(Synth.gif(1, 1, content).length ==
+      content.length + 17 + (content.length + 254) / 255)
+    // gif closed form holds across the sub-block boundary (255-byte chunks)
+    for (n <- Seq(0, 254, 255, 256, 510, 700)) {
+      val c = Array.fill[Byte](n)(7)
+      assert(Synth.gif(3, 4, c).length == n + 17 + (n + 254) / 255, s"gif len n=$n")
+      assert(MediaHeaders.decode(Synth.gif(3, 4, c)).contains(("gif", 3, 4)))
+    }
+    // realPayloadFor: every kind decodes with MediaHeaders alone (no-stub path)
+    for (id <- 0L to 8L) {
+      val (kind, payload) = Multimodal.realPayloadFor(id, "some text " * (id.toInt + 1))
+      val parsed = Multimodal.MediaHeaders.decode(payload)
+      assert(parsed.nonEmpty, s"id=$id kind=$kind did not parse")
+      val container = parsed.get._1
+      assert((kind, container) match {
+        case ("image", "png" | "jpeg") => true
+        case ("audio", "wav") => true
+        case ("video", "gif") => true
+        case _ => false
+      }, s"id=$id kind=$kind container=$container")
+    }
     // PNG chunk CRCs are REAL (a strict reader would reject bad CRCs):
     // verify the IHDR crc against an independent computation
     val p = Synth.png(640, 480, Array.emptyByteArray)

@@ -265,6 +265,45 @@ class PublishSpec extends GraftSpec {
     assert(members2.distinct.size == members2.size, "duplicate entries after evolution")
   }
 
+  test("many-graph fan-out: 500 graphs publish with a bounded, sublinear driver tail") {
+    // the parallel per-graph metadata path (forEachParallel over dump/
+    // manifest writes) must keep publish time sublinear in graph count —
+    // the serial loop was O(graphs) of driver filesystem round-trips.
+    def multiGraphPatch(src: String, graph: Int): Unit = {
+      val g = java.util.Base64.getEncoder
+        .encodeToString(s"http://graph.example.org/many$graph".getBytes("UTF-8"))
+      val dir = Paths.get(src, s"g_b64=$g")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("rdf_out_00000000000000-00000000000000"),
+        s"# at checkpoint  00000000000000\n+ <http://s$graph> <http://p> <http://o> <http://graph.example.org/many$graph> .\n")
+    }
+    def timePublish(nGraphs: Int): Double = {
+      val src = tmpDir(s"pubmany_src_$nGraphs"); val sink = tmpDir(s"pubmany_sink_$nGraphs")
+      (0 until nGraphs).foreach(multiGraphPatch(src, _))
+      val t0 = System.nanoTime()
+      val r = ZipPublisher.publish(spark, src, sink, filesPerZip = 1)
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(r.size == nGraphs, s"expected one zip per graph, got ${r.size}")
+      // every graph's metadata landed
+      val missing = (0 until nGraphs).count { i =>
+        val g = java.util.Base64.getEncoder
+          .encodeToString(s"http://graph.example.org/many$i".getBytes("UTF-8"))
+        !exists(s"$sink/$g/resource-dump.xml")
+      }
+      assert(missing == 0, s"$missing graphs missing resource-dump.xml")
+      secs
+    }
+    timePublish(20) // JIT/codegen warmup — keep one-time costs out of both samples
+    val t100 = timePublish(100)
+    val t500 = timePublish(500)
+    println(f"MANY-GRAPH PUBLISH: 100 graphs ${t100}%.1fs, 500 graphs ${t500}%.1fs " +
+      f"(x${t500 / t100}%.2f for x5 graphs)")
+    // sublinear: 5x the graphs must cost well under 5x the time (generous
+    // slack for box noise; a serial driver loop measures ~linear)
+    assert(t500 < t100 * 4.0,
+      f"5x graphs cost x${t500 / t100}%.2f — driver tail is not sublinear")
+  }
+
   test("sitemapindex read tolerates attribute/whitespace variation; empty index fails loudly") {
     val src = tmpDir("publ_src"); val sink = tmpDir("publ_sink")
     (0 until 7).foreach(writePatch(src, _))

@@ -59,4 +59,96 @@ class SnapshotStoreSpec extends GraftSpec {
     st.setEpoch("run-42")
     assert(st.epoch.contains("run-42"))
   }
+
+  /** Reference model: apply delta batches to a plain Map and compare the
+    * store's folded read against it after every commit. */
+  test("merge-on-read deltas: fold equals the closed-form state; chain folds to base") {
+    val root = tmpDir("store5")
+    val maxD = 3
+    val st = new SnapshotStore(spark, root, numBuckets = 4,
+      deleteKeys = Seq("k"), maxDeltas = maxD)
+    def rows(kv: Seq[(String, Int)]) = kv.toDF("k", "v")
+      .withColumn("bucket", st.bucketCol(col("k")))
+    var model: Map[String, Int] = (1 to 50).map(i => s"k$i" -> i).toMap
+    st.commitFull(rows(model.toSeq), 0L)
+    // 10 delta batches (> 3x maxDeltas => several fold-to-base cycles):
+    // each rewrites some keys, deletes some, inserts some
+    for (b <- 1 to 10) {
+      val rewrite = (1 to 5).map(i => s"k${(b * 7 + i) % 50 + 1}" -> (1000 * b + i))
+      val dead = Seq(s"k${(b * 11) % 50 + 1}", s"k${(b * 13) % 50 + 1}")
+      val insert = Seq(s"new_${b}" -> (9000 + b))
+      val adds = (rewrite ++ insert).toMap // rewrite may collide with dead keys
+      val tombKeys = (adds.keys ++ dead).toSeq.distinct
+      model = (model -- tombKeys) ++ adds
+      st.commitDelta(rows(adds.toSeq),
+        tombKeys.toDF("k").withColumn("bucket", st.bucketCol(col("k"))), b.toLong)
+      val back = st.read().get.select("k", "v").as[(String, Int)].collect().toMap
+      assert(back == model, s"fold mismatch after batch $b")
+    }
+    // chain is bounded: at most maxDeltas delta lines in the live manifest
+    val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/manifest_${f"${10L}%014d"}.txt"))
+    val chainLen = manifest.linesIterator.count(_.startsWith("D\t"))
+    assert(chainLen <= maxD, s"chain grew to $chainLen (> $maxD): compaction never ran")
+    // and at least one fold-to-base happened (manifest 10 cannot still
+    // chain back to snapshot 0's base after 10 > maxDeltas batches)
+    assert(!manifest.contains("snap_00000000000000"),
+      "base never advanced past the bootstrap snapshot")
+    // bucket-pruned folded read: only requested buckets come back
+    val someBucket = st.read().get.select("bucket").as[Int].head()
+    val pruned = st.readBuckets(Seq(someBucket)).get
+    assert(pruned.select("bucket").distinct().as[Int].collect().toSeq == Seq(someBucket))
+    val expectInBucket = st.read().get.filter(col("bucket") === someBucket).count()
+    assert(pruned.count() == expectInBucket)
+    // vacuum: disk stays O(live state) — only the referenced snap dirs and
+    // the latest manifest survive, and the folded read still matches
+    st.vacuum()
+    val left = new java.io.File(root).listFiles().map(_.getName)
+    val snapsLeft = left.count(_.startsWith("snap_"))
+    assert(snapsLeft <= maxD + 1,
+      s"$snapsLeft snapshot dirs survive vacuum (chain bound $maxD + base)")
+    assert(left.count(_.startsWith("manifest_")) == 1, "stale manifests survive vacuum")
+    assert(st.read().get.select("k", "v").as[(String, Int)].collect().toMap == model,
+      "vacuum deleted referenced data")
+  }
+
+  test("stageDelta refuses on a COW-only store; stageMerge refuses over a live chain") {
+    val root = tmpDir("store6")
+    val cow = new SnapshotStore(spark, root + "/cow", numBuckets = 2)
+    val df = Seq(("a", 1)).toDF("k", "v").withColumn("bucket", cow.bucketCol(col("k")))
+    cow.commitFull(df, 0L)
+    intercept[IllegalArgumentException] {
+      cow.stageDelta(df, df.select("k", "bucket"), 1L)
+    }
+    val mor = new SnapshotStore(spark, root + "/mor", numBuckets = 2,
+      deleteKeys = Seq("k"), maxDeltas = 8)
+    mor.commitFull(df, 0L)
+    mor.commitDelta(Seq(("b", 2)).toDF("k", "v").withColumn("bucket", mor.bucketCol(col("k"))),
+      Seq("b").toDF("k").withColumn("bucket", mor.bucketCol(col("k"))), 1L)
+    intercept[IllegalArgumentException] {
+      mor.stageMerge(df, Seq(0, 1), 2L)
+    }
+  }
+
+  test("delta re-stage after a crash is idempotent; finalize replays cleanly") {
+    val root = tmpDir("store7")
+    val st = new SnapshotStore(spark, root, numBuckets = 2,
+      deleteKeys = Seq("k"), maxDeltas = 8)
+    val base = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+      .withColumn("bucket", st.bucketCol(col("k")))
+    st.commitFull(base, 0L)
+    val adds = Seq(("a", 10)).toDF("k", "v").withColumn("bucket", st.bucketCol(col("k")))
+    val tombs = Seq("a").toDF("k").withColumn("bucket", st.bucketCol(col("k")))
+    // crash window: staged but never finalized -> readers still see snap 0
+    st.stageDelta(adds, tombs, 1L)
+    assert(st.latest.contains(0L))
+    assert(st.read().get.select("k", "v").as[(String, Int)].collect().toMap ==
+      Map("a" -> 1, "b" -> 2))
+    assert(st.isStagedNotFinal(1L))
+    // re-run re-stages the same id (overwrite), then finalizes
+    st.stageDelta(adds, tombs, 1L)
+    st.finalizeCommit(1L)
+    assert(st.read().get.select("k", "v").as[(String, Int)].collect().toMap ==
+      Map("a" -> 10, "b" -> 2))
+  }
 }

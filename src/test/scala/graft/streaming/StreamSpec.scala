@@ -132,4 +132,74 @@ class StreamSpec extends GraftSpec {
     assert(QuadDiff.diff(pipe.currentQuads, expected).count() == 0)
     assert(committed.iterator().next() == 1L)
   }
+
+  test("continuous trigger killed mid-run and relaunched: ids continue, state reconciles") {
+    val root = tmpDir("kstream_root")
+    val inDir = tmpDir("kstream_in")
+    val cpDir = tmpDir("kstream_cp")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = false)
+    val n = 60L
+    pipe.bootstrap(PageGen.snapshot(spark, n, 0), "e1", "00000000000000")
+
+    def dropDelta(snap: Int): Unit = {
+      val prev = PageGen.snapshot(spark, n, snap - 1).collect().map(p => p.url -> p).toMap
+      val cur = PageGen.snapshot(spark, n, snap)
+      val curMap = cur.collect().map(p => p.url -> p).toMap
+      val changed = cur.filter(p => !prev.contains(p.url) || prev(p.url).text != p.text)
+      val tombstones = prev.keys.filterNot(curMap.contains).toSeq
+        .map(u => graft.model.Page(u, new java.sql.Timestamp(0), Array.emptyByteArray, null, null))
+      changed.toDF().unionByName(spark.createDataset(tombstones).toDF())
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    def awaitSize(q: java.util.concurrent.ConcurrentLinkedQueue[Long], k: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (q.size < k && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(q.size >= k, s"timed out waiting for $k commits, got $q")
+    }
+
+    val runner = new StreamRunner(spark, pipe)
+    val run1 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    dropDelta(1)
+    val q1 = runner.runContinuous(inDir, cpDir, startBatchId = 1,
+      interval = "1 second", onBatch = id => { run1.add(id); () })
+    try {
+      awaitSize(run1, 1)
+      // a second drop lands, then the query is KILLED before (or while)
+      // its trigger processes it — the AvailableNow path has this soak,
+      // the production RUN_INTERVAL path must survive it too
+      dropDelta(2)
+    } finally q1.stop()
+
+    // relaunch against the SAME streaming checkpoint: the pending drop is
+    // processed exactly once, micro-batch ids continue (no restart at 0,
+    // no re-commit of run 1's batch), and state lands on the snapshot-2
+    // closed form
+    val run2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = runner.runContinuous(inDir, cpDir, startBatchId = 1,
+      interval = "1 second", onBatch = id => { run2.add(id); () })
+    val expected = pipe.extractedQuads(PageGen.snapshot(spark, n, 2))
+      .localCheckpoint()
+    try {
+      // wait on CONVERGENCE, not a commit count: if the kill raced the
+      // second trigger, run 1 may already have committed the drop and the
+      // relaunched query legitimately has nothing to do
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      var converged = false
+      while (!converged && System.nanoTime() < deadline) {
+        converged = QuadDiff.diff(pipe.currentQuads, expected).count() == 0
+        if (!converged) Thread.sleep(500)
+      }
+      assert(converged,
+        "state after kill+relaunch never reached the snapshot-2 closed form")
+    } finally q2.stop()
+
+    val ids1 = run1.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    val ids2 = run2.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(ids1.nonEmpty)
+    // when the relaunched query did commit, its ids must CONTINUE the
+    // sequence — never restart at the beginning or re-commit run 1's batch
+    if (ids2.nonEmpty)
+      assert(ids2.min > ids1.max,
+        s"relaunched query replayed old batch ids: run1=$ids1 run2=$ids2")
+  }
 }
