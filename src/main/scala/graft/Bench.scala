@@ -166,7 +166,7 @@ object Bench {
     // queries, i.e. host contention, not plans). Best-of-N with median and
     // spread makes the artifact self-defending: a contended sample shows
     // up as spread, not as the headline.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val spark = mkSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 

@@ -239,7 +239,8 @@ object ZipPublisher {
               maxZipBytes: Long = MaxZipBytes,
               maxItemsInList: Int = MaxItemsInList,
               onBuiltForTests: Seq[ZipInfo] => Unit = _ => (),
-              onPublishedForTests: () => Unit = () => ()): Seq[ZipInfo] = {
+              onPublishedForTests: () => Unit = () => (),
+              metadataThreads: Int = 8): Seq[ZipInfo] = {
     import spark.implicits._
     val f = fs(spark, sinkDir)
     f.mkdirs(new Path(sinkDir))
@@ -473,7 +474,7 @@ object ZipPublisher {
     // run on a small thread pool: serially this driver loop is O(graphs)
     // of filesystem round-trips, the publish tail's bottleneck once the
     // graph count is large.
-    timed("graphMetadata")(forEachParallel(builtInfos.groupBy(_._1.graph_b64).toSeq) { case (g, zPairs) =>
+    timed("graphMetadata")(forEachParallel(builtInfos.groupBy(_._1.graph_b64).toSeq, metadataThreads) { case (g, zPairs) =>
       val zs = zPairs.map(_._1)
       val gDir = new Path(sinkDir, g)
       val gUrl = s"$publishUrl$g/"
@@ -516,7 +517,7 @@ object ZipPublisher {
     // superseded part_end zips/sidecars and repair any dump xml whose end
     // entries disagree with the on-disk current end — the do_publish tail,
     // hardened against crashes in past runs' metadata windows.
-    timed("sweepStaleEnds")(sweepStaleEnds(f, sinkDir, publishUrl, summaries.toSeq, nowIso, maxItemsInList))
+    timed("sweepStaleEnds")(sweepStaleEnds(f, sinkDir, publishUrl, summaries.toSeq, nowIso, maxItemsInList, metadataThreads))
 
     // top-level source description over every graph dir with a capability list
     val graphs = f.listStatus(new Path(sinkDir)).filter(_.isDirectory)
@@ -592,13 +593,13 @@ object ZipPublisher {
     * end zips for graphs the current run does not otherwise touch. */
   private def sweepStaleEnds(f: FileSystem, sinkDir: String, publishUrl: String,
                              summaries: Seq[ZipInfo], at: String,
-                             maxItems: Int): Unit = {
+                             maxItems: Int, threads: Int = 8): Unit = {
     val sinkPath = new Path(sinkDir)
     if (!f.exists(sinkPath)) return
     val touched = summaries.map(_.graph_b64).toSet
     forEachParallel(f.listStatus(sinkPath).filter(_.isDirectory).map(_.getPath)
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-      .toSeq) { gDir =>
+      .toSeq, threads) { gDir =>
         val g = gDir.getName
         val ends = f.listStatus(gDir).map(_.getPath.getName)
           .filter(n => n.startsWith("part_end_") && n.endsWith(".zip"))

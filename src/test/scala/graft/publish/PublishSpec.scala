@@ -277,14 +277,22 @@ class PublishSpec extends GraftSpec {
       Files.writeString(dir.resolve("rdf_out_00000000000000-00000000000000"),
         s"# at checkpoint  00000000000000\n+ <http://s$graph> <http://p> <http://o> <http://graph.example.org/many$graph> .\n")
     }
-    def timePublish(nGraphs: Int): Double = {
-      val src = tmpDir(s"pubmany_src_$nGraphs"); val sink = tmpDir(s"pubmany_sink_$nGraphs")
+    // total publish work is inherently Ω(graphs) — every graph genuinely
+    // needs its zip, sidecars and dump xml — so the meaningful claim is
+    // about the DRIVER METADATA TAIL (everything after the distributed zip
+    // build + state commit): with the per-graph work on the thread pool it
+    // must beat the same work run serially. Measure exactly that tail
+    // (onPublishedForTests marks its start) at metadataThreads = 1 vs 8 on
+    // identical 500-graph corpora.
+    def timeTail(tag: String, nGraphs: Int, threads: Int): Double = {
+      val src = tmpDir(s"pubmany_src_$tag"); val sink = tmpDir(s"pubmany_sink_$tag")
       (0 until nGraphs).foreach(multiGraphPatch(src, _))
-      val t0 = System.nanoTime()
-      val r = ZipPublisher.publish(spark, src, sink, filesPerZip = 1)
-      val secs = (System.nanoTime() - t0) / 1e9
+      val mark = new java.util.concurrent.atomic.AtomicLong
+      val r = ZipPublisher.publish(spark, src, sink, filesPerZip = 1,
+        onPublishedForTests = () => mark.set(System.nanoTime()),
+        metadataThreads = threads)
+      val secs = (System.nanoTime() - mark.get) / 1e9
       assert(r.size == nGraphs, s"expected one zip per graph, got ${r.size}")
-      // every graph's metadata landed
       val missing = (0 until nGraphs).count { i =>
         val g = java.util.Base64.getEncoder
           .encodeToString(s"http://graph.example.org/many$i".getBytes("UTF-8"))
@@ -293,15 +301,13 @@ class PublishSpec extends GraftSpec {
       assert(missing == 0, s"$missing graphs missing resource-dump.xml")
       secs
     }
-    timePublish(20) // JIT/codegen warmup — keep one-time costs out of both samples
-    val t100 = timePublish(100)
-    val t500 = timePublish(500)
-    println(f"MANY-GRAPH PUBLISH: 100 graphs ${t100}%.1fs, 500 graphs ${t500}%.1fs " +
-      f"(x${t500 / t100}%.2f for x5 graphs)")
-    // sublinear: 5x the graphs must cost well under 5x the time (generous
-    // slack for box noise; a serial driver loop measures ~linear)
-    assert(t500 < t100 * 4.0,
-      f"5x graphs cost x${t500 / t100}%.2f — driver tail is not sublinear")
+    timeTail("warm", 20, 8) // JIT warmup — keep one-time costs out of both samples
+    val serialTail = timeTail("serial", 500, 1)
+    val parTail = timeTail("par", 500, 8)
+    println(f"MANY-GRAPH PUBLISH metadata tail, 500 graphs: serial ${serialTail}%.2fs, " +
+      f"parallel(8) ${parTail}%.2fs (x${serialTail / parTail}%.1f)")
+    assert(parTail < serialTail * 0.6,
+      f"parallel metadata tail ${parTail}%.2fs not clearly under serial ${serialTail}%.2fs")
   }
 
   test("sitemapindex read tolerates attribute/whitespace variation; empty index fails loudly") {
