@@ -228,9 +228,20 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     val nonEmpty = paths.filter(_._2.nonEmpty).filter { case (_, p) => fs.exists(new Path(p)) }
     if (nonEmpty.isEmpty) None
     else {
-      // basePath keeps schemas aligned; re-attach the bucket id per path
-      val dfs = nonEmpty.map { case (b, p) =>
-        spark.read.parquet(p).withColumn("bucket", lit(b))
+      // ONE relation per distinct snapshot dir, not one per bucket: a
+      // per-bucket `spark.read.parquet` union planned 32 separate file
+      // listings + footer schema inferences on the driver for EVERY store
+      // read — measured as seconds of non-scaling latency per batch. With
+      // `basePath` at the snap dir, partition discovery returns the
+      // `bucket` column (int) and path-level pruning to exactly the
+      // requested bucket dirs. After a merge-on-read fold or a full
+      // commit all buckets share one snap dir, so this is ONE relation.
+      val byDir: Map[String, Seq[String]] = nonEmpty
+        .map { case (_, p) => new Path(p) }
+        .groupBy(p => p.getParent.toString)
+        .map { case (dir, ps) => dir -> ps.map(_.toString).toSeq }
+      val dfs = byDir.toSeq.sortBy(_._1).map { case (dir, leafs) =>
+        spark.read.option("basePath", dir).parquet(leafs: _*)
       }
       Some(dfs.reduce(_ unionByName _))
     }
