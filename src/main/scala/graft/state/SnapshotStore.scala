@@ -153,9 +153,13 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       // (additions are O(batch); a fixed fan-out would write tiny files)
       additions.repartition(numBuckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/add")
+      // same bucket-keyed exchange as additions: ~one file per bucket, and
+      // a 10^9-key tombstone set never funnels through one task (the
+      // earlier repartition(1) was a single-task write — fine for a bench
+      // batch, a bottleneck at target scale)
       tombstones.select((deleteKeys :+ "bucket").map(col): _*)
         .distinct()
-        .repartition(1)
+        .repartition(numBuckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/tomb")
       writeAtomic(manifestPath(id), manifestText(base, deltas :+ id))
     }

@@ -112,6 +112,29 @@ class SnapshotStoreSpec extends GraftSpec {
       "vacuum deleted referenced data")
   }
 
+  test("a committed store reads back as ONE relation, not a per-bucket union") {
+    // regression guard for the round-5 read fix: a union of 32 per-bucket
+    // spark.read.parquet relations cost 32 driver-side file listings +
+    // schema inferences on EVERY store read — seconds of non-scaling
+    // latency per pipeline batch
+    val root = tmpDir("store8")
+    val st = new SnapshotStore(spark, root, numBuckets = 16)
+    val df = (1 to 200).map(i => (s"k$i", i)).toDF("k", "v")
+      .withColumn("bucket", st.bucketCol(col("k")))
+    st.commitFull(df, 0L)
+    def relationCount(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p.collect {
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation => 1
+      }.sum
+    assert(relationCount(st.read().get.queryExecution.optimizedPlan) == 1,
+      "full read planned more than one parquet relation")
+    assert(relationCount(st.readBuckets(Seq(0, 3, 7)).get.queryExecution.optimizedPlan) == 1,
+      "bucket-pruned read planned more than one parquet relation")
+    // and the pruned read only scans the requested buckets
+    val pruned = st.readBuckets(Seq(0, 3, 7)).get
+    assert(pruned.select("bucket").distinct().as[Int].collect().toSet.subsetOf(Set(0, 3, 7)))
+  }
+
   test("stageDelta refuses on a COW-only store; stageMerge refuses over a live chain") {
     val root = tmpDir("store6")
     val cow = new SnapshotStore(spark, root + "/cow", numBuckets = 2)
