@@ -153,6 +153,41 @@ class SnapshotStoreSpec extends GraftSpec {
     }
   }
 
+  test("seeded fuzz: random delta sequences match the model across maxDeltas settings") {
+    // deterministic pseudo-random batches exercising the edges the
+    // structured test cannot: pure deletes, tombstones of nonexistent
+    // keys, re-adding a key deleted earlier in the chain, rewriting the
+    // same key in consecutive deltas, empty batches — across chain
+    // bounds that fold never/sometimes/every-batch
+    val rnd = new scala.util.Random(42)
+    for ((maxD, run) <- Seq((1, "a"), (2, "b"), (4, "c"))) {
+      val root = tmpDir(s"storefuzz_$run") + "/t"
+      val st = new SnapshotStore(spark, root, numBuckets = 4,
+        deleteKeys = Seq("k"), maxDeltas = maxD)
+      def rows(kv: Seq[(String, Int)]) = kv.toDF("k", "v")
+        .withColumn("bucket", st.bucketCol(col("k")))
+      var model: Map[String, Int] = (1 to 30).map(i => s"k$i" -> i).toMap
+      st.commitFull(rows(model.toSeq), 0L)
+      for (b <- 1 to 6) {
+        val universe = (1 to 40).map(i => s"k$i")
+        val adds = universe.filter(_ => rnd.nextInt(100) < 25)
+          .map(k => k -> rnd.nextInt(10000)).toMap
+        val pureDeletes = universe.filter(_ => rnd.nextInt(100) < 15)
+        val ghosts = Seq(s"ghost_${b}_${rnd.nextInt(5)}") // never existed
+        val tombKeys = (adds.keys ++ pureDeletes ++ ghosts).toSeq.distinct
+        model = (model -- tombKeys) ++ adds
+        st.commitDelta(rows(adds.toSeq),
+          tombKeys.toDF("k").withColumn("bucket", st.bucketCol(col("k"))), b.toLong)
+        val back = st.read().get.select("k", "v").as[(String, Int)].collect().toMap
+        assert(back == model,
+          s"maxDeltas=$maxD batch=$b: extra=${(back.toSet -- model.toSet).take(3)} " +
+            s"missing=${(model.toSet -- back.toSet).take(3)}")
+      }
+      st.vacuum()
+      assert(st.read().get.select("k", "v").as[(String, Int)].collect().toMap == model)
+    }
+  }
+
   test("delta re-stage after a crash is idempotent; finalize replays cleanly") {
     val root = tmpDir("store7")
     val st = new SnapshotStore(spark, root, numBuckets = 2,
