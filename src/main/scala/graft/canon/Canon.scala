@@ -223,13 +223,25 @@ object IriCanonicalizer {
     * pipeline emits -/+ remap patches; see QuadLogPipeline). */
   def extendMap(spark: SparkSession, oldMap: DataFrame, newIris: DataFrame,
                 jaccardThreshold: Double = 0.6): DataFrame = {
+    val (untouched, changed) = extendMapParts(spark, oldMap, newIris, jaccardThreshold)
+    untouched.unionByName(changed)
+  }
+
+  /** [[extendMap]] split into (untouched, changed): `changed` is exactly
+    * the rows that DIFFER from oldMap (fresh ids + every member of a
+    * cluster adjacent to a new verified edge) — the merge-on-read delta
+    * for a persisted map store (its ids are the tombstone set, its rows
+    * the additions) — and `untouched ∪ changed` is the full extended map.
+    * A no-new-ids batch returns (oldMap, empty). */
+  def extendMapParts(spark: SparkSession, oldMap: DataFrame, newIris: DataFrame,
+                     jaccardThreshold: Double = 0.6): (DataFrame, DataFrame) = {
     val oldIds = oldMap.select(col("id"))
       .union(oldMap.select(col("canonical").as("id")))
       .distinct()
     val fresh = newIris.select(col("id")).distinct()
       .join(oldIds, Seq("id"), "left_anti")
       .localCheckpoint()
-    if (fresh.isEmpty) return oldMap // domain unchanged -> map unchanged
+    if (fresh.isEmpty) return (oldMap, oldMap.limit(0)) // domain unchanged
     val ids = oldIds.union(fresh).distinct().localCheckpoint()
     val newEdges = verifiedPairs(ids, jaccardThreshold, leftIds = Some(fresh))
       .localCheckpoint()
@@ -258,8 +270,7 @@ object IriCanonicalizer {
     val edges = newEdges.unionByName(
       touchedOld.filter(col("id") =!= col("canonical"))
         .select(col("id").as("src"), col("canonical").as("dst")))
-    untouched.select("id", "canonical")
-      .unionByName(mapFromEdges(spark, touchedIds, edges))
+    (untouched.select("id", "canonical"), mapFromEdges(spark, touchedIds, edges))
   }
 
   /** MinHash-LSH blocked + exact-Jaccard verified coreference candidate

@@ -13,9 +13,9 @@ import graft.state.SnapshotStore
   * resourcesync-generator) as one incremental batch job over page snapshots.
   *
   * State layout (all three stores are [[SnapshotStore]]s: bucketed,
-  * atomically committed; contrib/facts commit MERGE-ON-READ deltas per
-  * batch — O(batch) writes with bounded chains folded to a new base — the
-  * others are copy-on-write):
+  * atomically committed; contrib, facts AND canon commit MERGE-ON-READ
+  * deltas per batch — O(batch) writes with bounded chains folded to a new
+  * base — only the tiny graph index is copy-on-write):
   *
   *  - `contrib`  — per-PAGE quad contributions, bucketed by xxhash64(url).
   *                 The unit of incremental work: a batch only ever touches
@@ -73,7 +73,12 @@ final class QuadLogPipeline(
     deleteKeys = Seq("url"), maxDeltas = maxDeltas)
   val facts = new SnapshotStore(spark, s"$root/facts", numBuckets,
     deleteKeys = QuadDiff.quadCols, maxDeltas = maxDeltas)
-  val canon = new SnapshotStore(spark, s"$root/canon", math.min(numBuckets, 8))
+  // canon is MOR too: the accumulated map is O(all IRIs ever seen) — a
+  // full rewrite per batch (the old stageFull) is the same unbounded-write
+  // defect the contrib/facts COW had. Delta = the extendMapParts changed
+  // rows; tombstones = their ids.
+  val canon = new SnapshotStore(spark, s"$root/canon", math.min(numBuckets, 8),
+    deleteKeys = Seq("id"), maxDeltas = maxDeltas)
   /** A8 — first-seen graph dimension (split-graphs.sh:99-102's
     * vql_graph_folder.csv): (g, g_b64, firstBatch), insert-if-absent per
     * batch; the publish stage's per-graph fan-out reads it. */
@@ -119,24 +124,33 @@ final class QuadLogPipeline(
       .distinct()
 
   /** Extend the persisted canonical map with this batch's IRIs.
-    * Returns (map, remapped) where remapped = (oldRep -> newRep) pairs for
-    * representatives superseded by this extension (rare: cluster merges). */
-  private def extendedCanonMap(rawQuads: DataFrame): (DataFrame, DataFrame) = {
+    * Returns (map, remapped, changed): `changed` = exactly the rows that
+    * differ from the stored map (fresh ids + members of clusters a new
+    * edge touched) — the canon store's merge-on-read delta; `remapped` =
+    * (oldRep -> newRep) pairs for superseded representatives, derived
+    * from `changed` (rep changes are a subset of changed ids), so the
+    * comparison join is churn-sized instead of accumulated-map-sized. */
+  private def extendedCanonMap(rawQuads: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val iris = candidateIris(rawQuads)
     val old = canon.read().map(_.select("id", "canonical"))
-    val m = timed("canonicalMap") {
-      (old match {
-        case None    => IriCanonicalizer.canonicalMap(spark, iris)
-        case Some(o) => IriCanonicalizer.extendMap(spark, o, iris)
-      }).localCheckpoint()
+    val (m, changed) = timed("canonicalMap") {
+      old match {
+        case None =>
+          val cm = IriCanonicalizer.canonicalMap(spark, iris).localCheckpoint()
+          (cm, cm) // everything is new relative to an empty store
+        case Some(o) =>
+          val (untouched, changed0) = IriCanonicalizer.extendMapParts(spark, o, iris)
+          val c = changed0.localCheckpoint() // churn-sized; reused 3x below
+          (untouched.unionByName(c).localCheckpoint(), c)
+      }
     }
     val remapped = old.map { o =>
-      o.join(m.withColumnRenamed("canonical", "rep2"), Seq("id"))
+      o.join(changed.withColumnRenamed("canonical", "rep2"), Seq("id"))
         .filter(col("canonical") =!= col("rep2"))
         .select(col("canonical").as("id"), col("rep2").as("canonical"))
         .distinct()
     }.getOrElse(m.limit(0))
-    (m, remapped)
+    (m, remapped, changed)
   }
 
   /** Exact per-page contributions: quads tagged with the url that supports
@@ -152,7 +166,7 @@ final class QuadLogPipeline(
     val out =
       if (!canonicalize) quads
       else {
-        val (cmap, _) = extendedCanonMap(quads)
+        val (cmap, _, _) = extendedCanonMap(quads)
         rewriteIfNonTrivial(quads, cmap)
       }
     out.withColumn("bucket", contrib.bucketCol(col("url")))
@@ -218,7 +232,7 @@ final class QuadLogPipeline(
     val contribData =
       if (!canonicalize) raw
       else {
-        val (cmap, _) = extendedCanonMap(raw)
+        val (cmap, _, _) = extendedCanonMap(raw)
         canon.commitFull(cmap.withColumn("bucket", canon.bucketCol(col("id"))), 0L)
         rewriteIfNonTrivial(raw, cmap)
       }
@@ -311,7 +325,7 @@ final class QuadLogPipeline(
       if (!canonicalize)
         (rawNew, rawNew.limit(0).select(col("s").as("id"), col("s").as("canonical")))
       else {
-        val (cmap, remapped) = extendedCanonMap(rawNew)
+        val (cmap, remapped, canonChanged) = extendedCanonMap(rawNew)
         // STAGED, not committed: the extended map must move atomically with
         // the facts/contrib stores. A crash after an early canon commit but
         // before the batch marker would make the re-run derive remapPairs
@@ -319,8 +333,14 @@ final class QuadLogPipeline(
         // under superseded representatives would silently never be
         // rewritten. Staging keeps canon.read() on the OLD snapshot until
         // the single marker-guarded finalize below flips all three.
+        // MOR delta: only the CHANGED rows land (tombstones = their ids) —
+        // the old stageFull rewrote the whole accumulated map per batch.
         timed("incr.canonStage")(
-          canon.stageFull(cmap.withColumn("bucket", canon.bucketCol(col("id"))), batchId))
+          canon.stageDelta(
+            additions = canonChanged.withColumn("bucket", canon.bucketCol(col("id"))),
+            tombstones = canonChanged.select(col("id"))
+              .withColumn("bucket", canon.bucketCol(col("id"))),
+            id = batchId))
         (rewriteIfNonTrivial(rawNew, cmap), remapped)
       }
     val newContrib = newContrib0.withColumn("bucket", contrib.bucketCol(col("url")))
