@@ -308,7 +308,16 @@ object Bench {
     val totalMedian = median.map(_._2).sum
     val recallField = (ivfCurve ++ clusteredCurve)
       .map { case (k, v) => f""","$k":$v%.3f""" }.mkString
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${jmap(best)},"queries_median":${jmap(median)},"queries_spread":${jmap(spread)},"total_median":$totalMedian%.3f,"pipeline_e2e_median":$medPipe%.3f,"sf":"$sfDir","pipeline_docs":$docs,"pipeline_quads":$quads,"docs_per_sec":$docsPerSec%.1f,"docs_per_sec_median":${docs / medPipe}%.1f,"dump_quads_per_sec":$dumpQps%.1f,"dump_quads_per_sec_median":$dumpQpsMedian%.1f$recallField,"cpus":"$cpus"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":${jmap(best)},"queries_median":${jmap(median)},"queries_spread":${jmap(spread)},"total_median":$totalMedian%.3f,"pipeline_e2e_median":$medPipe%.3f,"sf":"$sfDir","pipeline_docs":$docs,"pipeline_quads":$quads,"docs_per_sec":$docsPerSec%.1f,"docs_per_sec_median":${docs / medPipe}%.1f,"dump_quads_per_sec":$dumpQps%.1f,"dump_quads_per_sec_median":$dumpQpsMedian%.1f$recallField,"cpus":"$cpus"}"""
+    println(json)
+    // the artifact the driver records is a stdout tail that has truncated
+    // the JSON line mid-object before ("parsed": null in BENCH_r05) — also
+    // land it in a file so the round's evidence can never be eaten by
+    // stdout capture
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[bench] json written to $outFile")
     spark.stop()
   }
 }

@@ -47,13 +47,31 @@ import java.nio.charset.StandardCharsets
   * `bucket = pmod(xxhash64(key), numBuckets)` — uniform by construction, so
   * no bucket-level skew regardless of key skew.
   *
+  * Chain folds are BUCKET-LOCAL (Iceberg-style partial compaction): when
+  * the chain bound trips, only buckets whose accumulated delta bytes
+  * crossed `foldBucketBytes` are folded into a fresh base; the quiet
+  * buckets' chain data — small by definition — is consolidated into ONE
+  * bucket-scoped delta, so the chain bound holds without rewriting store
+  * bytes that barely changed. The old behavior (full fold-to-base every
+  * `maxDeltas` batches) paid an O(store) rewrite regardless of churn —
+  * amortized O(store/maxDeltas) per batch, the exact write-amplification
+  * shape MOR was introduced to kill.
+  *
   * @param deleteKeys columns identifying rows for MOR tombstones (empty =
   *                   store is COW-only; stageDelta refuses)
-  * @param maxDeltas  delta-chain length that triggers fold-to-base
+  * @param maxDeltas  delta-chain length that triggers a (partial) fold
+  * @param foldBucketBytes per-bucket accumulated-delta-byte threshold above
+  *                   which a fold event rewrites that bucket's base (0 =
+  *                   always fold every data-bearing bucket, the old full
+  *                   fold). Deployment guidance: set proportional to the
+  *                   acceptable write amplification — a base bucket of B
+  *                   bytes is rewritten only after >= foldBucketBytes of
+  *                   delta volume accumulates in it.
   */
 final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int,
                           val deleteKeys: Seq[String] = Seq.empty,
-                          val maxDeltas: Int = 4) {
+                          val maxDeltas: Int = 4,
+                          val foldBucketBytes: Long = 8L << 20) {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
@@ -87,10 +105,13 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
 
   private def manifestPath(id: Long) = new Path(root, f"manifest_$id%014d.txt")
 
+  import SnapshotStore.DeltaRef
+
   /** Manifest: one `bucket<TAB>path` line per base bucket, plus zero or
-    * more ordered `D<TAB>snapId` lines for the merge-on-read delta chain
-    * (delta data lives at `snap_<id>/add` and `snap_<id>/tomb`). */
-  private def readManifest(id: Long): (Map[Int, String], Seq[Long]) = {
+    * more ordered delta lines — `D<TAB>tag<TAB>dir<TAB>scope` (scope `*`
+    * = all buckets, else comma-separated bucket ids). The legacy 2-field
+    * form `D<TAB>snapId` (dir derived from the id, unscoped) still reads. */
+  private def readManifest(id: Long): (Map[Int, String], Seq[DeltaRef]) = {
     val in = fs.open(manifestPath(id))
     val text = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
       StandardCharsets.UTF_8) finally in.close()
@@ -98,13 +119,26 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     val base = lines.filterNot(_.startsWith("D\t")).map { l =>
       val Array(b, p) = l.split("\t", 2); b.toInt -> p
     }.toMap
-    val deltas = lines.filter(_.startsWith("D\t")).map(_.stripPrefix("D\t").trim.toLong).toSeq
+    val deltas = lines.filter(_.startsWith("D\t")).map { l =>
+      l.split("\t") match {
+        case Array(_, t) =>
+          val tag = t.trim.toLong
+          DeltaRef(tag, s"$root/${f"snap_$tag%014d"}", None)
+        case Array(_, t, dir, scope) =>
+          DeltaRef(t.trim.toLong, dir,
+            if (scope.trim == "*") None
+            else Some(scope.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+              .map(_.toInt).toSet))
+        case other => sys.error(s"bad manifest delta line: ${other.mkString("\t")}")
+      }
+    }.toSeq
     (base, deltas)
   }
 
-  private def manifestText(base: Map[Int, String], deltas: Seq[Long]): String =
+  private def manifestText(base: Map[Int, String], deltas: Seq[DeltaRef]): String =
     ((0 until numBuckets).map(b => s"$b\t${base.getOrElse(b, "")}") ++
-      deltas.map(d => s"D\t$d")).mkString("\n")
+      deltas.map(d => s"D\t${d.tag}\t${d.dir}\t" +
+        d.scope.fold("*")(_.toSeq.sorted.mkString(",")))).mkString("\n")
 
   // --- commits -------------------------------------------------------------
 
@@ -131,38 +165,139 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
   /** Stage a MERGE-ON-READ delta commit: O(batch) writes regardless of
     * store size. `additions` must carry the store schema incl. `bucket`;
     * `tombstones` must carry `deleteKeys` + `bucket` and COVER the
-    * additions' keys (see class doc). When the resulting chain would exceed
-    * `maxDeltas`, the chain (with this batch applied) is folded into a
-    * fresh full base instead — the store-sized rewrite every caller batch
-    * used to pay, now amortized to one in `maxDeltas`. */
+    * additions' keys (see class doc). When the chain would exceed
+    * `maxDeltas` the fold runs — bucket-local, see [[foldChain]]. */
   def stageDelta(additions: DataFrame, tombstones: DataFrame, id: Long): Unit = {
     require(deleteKeys.nonEmpty, s"stageDelta on a COW-only store: $root")
     val prevId = latest.getOrElse(sys.error("stageDelta on empty store"))
     val (base, deltas) = readManifest(prevId)
-    if (deltas.size >= maxDeltas) {
-      // fold chain + this batch into a new base (one store-sized job)
-      val folded = assemble(base, deltas, None)
-        .getOrElse(sys.error(s"empty store under non-empty manifest: $root"))
-      val applied = folded
-        .join(tombstones.select(deleteKeys.map(col): _*).distinct(), deleteKeys, "left_anti")
-        .unionByName(additions.select(folded.columns.map(col): _*))
-      stageFull(applied, id)
-    } else {
-      val snapDir = new Path(root, f"snap_$id%014d").toString
-      // one exchange keyed by bucket -> ~one file per bucket per delta
-      // (additions are O(batch); a fixed fan-out would write tiny files)
-      additions.repartition(numBuckets, col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/add")
-      // same bucket-keyed exchange as additions: ~one file per bucket, and
-      // a 10^9-key tombstone set never funnels through one task (the
-      // earlier repartition(1) was a single-task write — fine for a bench
-      // batch, a bottleneck at target scale)
-      tombstones.select((deleteKeys :+ "bucket").map(col): _*)
-        .distinct()
-        .repartition(numBuckets, col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/tomb")
-      writeAtomic(manifestPath(id), manifestText(base, deltas :+ id))
+    // A no-op batch must not grow the chain: maxDeltas empty deltas would
+    // trip a fold — the store-sized work MOR exists to avoid — for doing
+    // nothing. Carry the previous base + chain forward under the new id
+    // (metadata-only), keeping the stage/finalize protocol uniform. Under
+    // the coverage contract empty tombstones imply empty additions; the
+    // require turns a violation (additions that would otherwise be
+    // silently dropped here) into a loud error. One tiny job on the
+    // common path — callers pass checkpointed/cached tombstone sets.
+    if (tombstones.isEmpty) {
+      require(additions.isEmpty,
+        s"stageDelta contract violated: additions without covering tombstones: $root")
+      writeAtomic(manifestPath(id), manifestText(base, deltas))
+      return
     }
+    val snapDir = new Path(root, f"snap_$id%014d").toString
+    // one exchange keyed by bucket -> ~one file per bucket per delta
+    // (additions are O(batch); a fixed fan-out would write tiny files)
+    additions.repartition(numBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/add")
+    // same bucket-keyed exchange as additions: ~one file per bucket, and
+    // a 10^9-key tombstone set never funnels through one task (the
+    // earlier repartition(1) was a single-task write — fine for a bench
+    // batch, a bottleneck at target scale)
+    tombstones.select((deleteKeys :+ "bucket").map(col): _*)
+      .distinct()
+      .repartition(numBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/tomb")
+    val chain = deltas :+ DeltaRef(id, snapDir, None)
+    if (chain.size <= maxDeltas)
+      writeAtomic(manifestPath(id), manifestText(base, chain))
+    else
+      foldChain(base, chain, id)
+  }
+
+  /** Cap on distinct snap dirs the base may fragment across: each distinct
+    * dir is one parquet relation per read (driver-side listing + footer
+    * inference — the round-5 non-scaling-latency lesson, StoreSpec guard),
+    * so partial folds escalate to a full fold past this bound. */
+  val maxBaseDirs: Int = 4
+
+  /** Bound-tripped chain compaction, BUCKET-LOCAL (Iceberg-style partial
+    * compaction). `chain` already includes the incoming delta (last, tag
+    * `id`). Buckets whose accumulated delta bytes crossed
+    * [[foldBucketBytes]] ("hot") fold — base + applicable chain data —
+    * into a fresh base dir `snap_<id>B`; the quiet buckets' chain data is
+    * consolidated into ONE scoped delta at `snap_<id>C` (surviving adds =
+    * the chain folded with no base; tombs = the union of applicable
+    * tombstone keys, still needed to mask base rows). Consolidation is
+    * small by the definition of quiet (< foldBucketBytes per bucket), so
+    * the chain bound holds without any store-sized write. Escalates to a
+    * FULL fold when every data-bearing bucket is hot or when the base
+    * would fragment past [[maxBaseDirs]] dirs.
+    *
+    * Single-tag consolidation is correct under the stageDelta contract:
+    * every surviving add's key is covered by some chain tombstone, all of
+    * which collapse to the consolidated tag, and `wtag >= ttag` (equal)
+    * keeps exactly the adds that survived the original chain; base rows
+    * (tag -1) stay masked by the union of tombstone keys. */
+  private def foldChain(base: Map[Int, String], chain: Seq[DeltaRef], id: Long): Unit = {
+    val bytesPerBucket: Map[Int, Long] =
+      chain.flatMap { d =>
+        Seq("add", "tomb").flatMap { sub =>
+          val p = new Path(s"${d.dir}/$sub")
+          if (!fs.exists(p)) Seq.empty[(Int, Long)]
+          else fs.listStatus(p).toSeq
+            .filter(_.getPath.getName.startsWith("bucket="))
+            .map(s => s.getPath.getName.stripPrefix("bucket=").toInt ->
+              fs.getContentSummary(s.getPath).getLength)
+            .filter { case (b, _) => d.scope.forall(_.contains(b)) }
+        }
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    val withData = bytesPerBucket.keySet
+    val hot = withData.filter(b => bytesPerBucket(b) >= foldBucketBytes)
+    val quiet = withData -- hot
+    val carriedDirs = base.collect {
+      case (b, p) if p.nonEmpty && !hot.contains(b) => new Path(p).getParent.toString
+    }.toSet
+    val baseDir = new Path(root, f"snap_$id%014d" + "B").toString
+    if (quiet.isEmpty || carriedDirs.size + 1 > maxBaseDirs) {
+      // full fold: every bucket's base advances to one fresh dir
+      val folded = assemble(base, chain, None)
+        .getOrElse(sys.error(s"empty store under non-empty manifest: $root"))
+      val written = writeBase(folded, baseDir, numBuckets)
+      val newBase = (0 until numBuckets)
+        .map(b => b -> (if (written(b)) s"$baseDir/bucket=$b" else "")).toMap
+      writeAtomic(manifestPath(id), manifestText(newBase, Seq.empty))
+    } else {
+      val hotSorted = hot.toSeq.sorted
+      val written: Set[Int] =
+        if (hotSorted.isEmpty) Set.empty
+        else assemble(base, chain, Some(hotSorted)) match {
+          case None => Set.empty
+          case Some(df) => writeBase(df, baseDir, hotSorted.size)
+        }
+      val quietSorted = quiet.toSeq.sorted
+      val consDir = new Path(root, f"snap_$id%014d" + "C").toString
+      assemble(Map.empty, chain, Some(quietSorted)).foreach { adds =>
+        adds.repartition(math.max(quietSorted.size, 1), col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$consDir/add")
+      }
+      val tombParts = chain.flatMap(d => loadDelta(s"${d.dir}/tomb", Some(quietSorted), d.scope))
+      if (tombParts.nonEmpty) {
+        tombParts.map(_.select((deleteKeys :+ "bucket").map(col): _*))
+          .reduce(_ unionByName _)
+          .distinct()
+          .repartition(math.max(quietSorted.size, 1), col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$consDir/tomb")
+      }
+      val newBase = (0 until numBuckets).map { b =>
+        b -> (if (written(b)) s"$baseDir/bucket=$b"
+              else if (hot.contains(b)) "" // hot bucket emptied by its tombstones
+              else base.getOrElse(b, ""))
+      }.toMap
+      writeAtomic(manifestPath(id),
+        manifestText(newBase, Seq(DeltaRef(id, consDir, Some(quiet)))))
+    }
+  }
+
+  /** Write base rows partitioned by bucket; returns the bucket ids that
+    * actually materialized (a bucket emptied by tombstones writes none). */
+  private def writeBase(df: DataFrame, dataDir: String, parts: Int): Set[Int] = {
+    df.repartition(math.max(parts, 1), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
+    val d = new Path(dataDir)
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt).toSet
   }
 
   /** [[stageDelta]] + pointer flip. */
@@ -251,16 +386,25 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     }
   }
 
-  /** Bucket-pruned read of one delta dir (None when absent/empty). The
+  /** Bucket-pruned read of one delta dir (None when absent/empty, or when
+    * the requested buckets miss the delta's `scope` entirely). The
     * `bucket` partition column comes back from the directory layout, so
     * the isin filter prunes whole subdirs at planning time. */
-  private def loadDelta(dir: String, buckets: Option[Seq[Int]]): Option[DataFrame] = {
+  private def loadDelta(dir: String, buckets: Option[Seq[Int]],
+                        scope: Option[Set[Int]] = None): Option[DataFrame] = {
+    val eff: Option[Seq[Int]] = (buckets, scope) match {
+      case (None, None)         => None
+      case (Some(bs), None)     => Some(bs)
+      case (None, Some(s))      => Some(s.toSeq.sorted)
+      case (Some(bs), Some(s))  => Some(bs.filter(s.contains))
+    }
+    if (eff.exists(_.isEmpty)) return None
     val p = new Path(dir)
     if (!fs.exists(p) || !fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket=")))
       None
     else {
       val df = spark.read.parquet(dir)
-      Some(buckets.fold(df)(bs => df.filter(col("bucket").isin(bs.map(Integer.valueOf): _*))))
+      Some(eff.fold(df)(bs => df.filter(col("bucket").isin(bs.map(Integer.valueOf): _*))))
     }
   }
 
@@ -271,7 +415,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * the stageDelta contract (a delta's tombstones cover its own
     * additions). The tombstone side is churn-sized, never store-sized, so
     * the join broadcasts at sane scales and AQE picks the strategy. */
-  private def assemble(base: Map[Int, String], deltas: Seq[Long],
+  private def assemble(base: Map[Int, String], deltas: Seq[DeltaRef],
                        buckets: Option[Seq[Int]]): Option[DataFrame] = {
     val basePaths: Seq[(Int, String)] = buckets match {
       case None => (0 until numBuckets).map(b => b -> base.getOrElse(b, ""))
@@ -280,10 +424,10 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     val baseDf = load(basePaths)
     if (deltas.isEmpty) return baseDf
     val adds = deltas.flatMap { d =>
-      loadDelta(s"$root/${f"snap_$d%014d"}/add", buckets).map(df => d -> df)
+      loadDelta(s"${d.dir}/add", buckets, d.scope).map(df => d.tag -> df)
     }
     val tombs = deltas.flatMap { d =>
-      loadDelta(s"$root/${f"snap_$d%014d"}/tomb", buckets).map(df => d -> df)
+      loadDelta(s"${d.dir}/tomb", buckets, d.scope).map(df => d.tag -> df)
     }
     val tagged = (baseDf.map(df => -1L -> df).toSeq ++ adds).map { case (tag, df) =>
       df.withColumn("_wtag", lit(tag))
@@ -301,7 +445,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     // fold join stays a narrow pass over the store-sized stream. Past the
     // gate it degrades to a shuffle join rather than a wrong broadcast.
     val tombBytes = deltas.map { d =>
-      val p = new Path(s"$root/${f"snap_$d%014d"}/tomb")
+      val p = new Path(s"${d.dir}/tomb")
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
     }.sum
     val tombSide = if (tombBytes <= (64L << 20)) broadcast(tombMax) else tombMax
@@ -338,9 +482,13 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     val (base, deltas) = readManifest(id)
     val live: Set[String] =
       base.values.filter(_.nonEmpty).map(p => new Path(p).getParent.getName).toSet ++
-        deltas.map(d => f"snap_$d%014d").toSet
-    def numOf(name: String, prefix: String, suffix: String): Long =
-      name.stripPrefix(prefix).stripSuffix(suffix).toLong
+        deltas.map(d => new Path(d.dir).getName).toSet
+    // fold-output dirs carry a letter suffix (snap_<id>B / snap_<id>C) —
+    // parse the digit prefix; a name with none is never deleted
+    def numOf(name: String, prefix: String, suffix: String): Long = {
+      val digits = name.stripPrefix(prefix).stripSuffix(suffix).takeWhile(_.isDigit)
+      if (digits.isEmpty) Long.MaxValue else digits.toLong
+    }
     val entries = fs.listStatus(new Path(root))
     entries.filter(_.isDirectory).map(_.getPath)
       .filter { p =>
@@ -370,4 +518,14 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
   /** Wipe the store (epoch-mismatch reset — split-graphs.sh:171's `rm -Rf`,
     * but only ever invoked on explicit epoch change). */
   def reset(): Unit = { if (fs.exists(new Path(root))) fs.delete(new Path(root), true) }
+}
+
+object SnapshotStore {
+  /** One merge-on-read delta in the chain: `tag` orders the fold join
+    * (rows written by later snapshots beat earlier tombstones), `dir`
+    * holds the delta's `add/` and `tomb/` parquet, and `scope` is the
+    * bucket set it applies to (None = every bucket). Scoped refs come
+    * from partial folds: hot buckets leave the chain into a new base,
+    * quiet buckets' consolidated data stays behind, scoped to them. */
+  private[state] final case class DeltaRef(tag: Long, dir: String, scope: Option[Set[Int]])
 }

@@ -12,10 +12,11 @@ import graft.state.SnapshotStore
   * reference's three chained components (quad-logger -> graph-splitter ->
   * resourcesync-generator) as one incremental batch job over page snapshots.
   *
-  * State layout (all three stores are [[SnapshotStore]]s: bucketed,
-  * atomically committed; contrib, facts AND canon commit MERGE-ON-READ
-  * deltas per batch — O(batch) writes with bounded chains folded to a new
-  * base — only the tiny graph index is copy-on-write):
+  * State layout (all four stores are [[SnapshotStore]]s: bucketed,
+  * atomically committed; contrib, facts, canon AND the graph index commit
+  * MERGE-ON-READ deltas per batch — O(batch) writes with bounded chains,
+  * folded bucket-locally — NO store-sized write exists in any per-batch
+  * path; full commits happen only at bootstrap):
   *
   *  - `contrib`  — per-PAGE quad contributions, bucketed by xxhash64(url).
   *                 The unit of incremental work: a batch only ever touches
@@ -81,8 +82,14 @@ final class QuadLogPipeline(
     deleteKeys = Seq("id"), maxDeltas = maxDeltas)
   /** A8 — first-seen graph dimension (split-graphs.sh:99-102's
     * vql_graph_folder.csv): (g, g_b64, firstBatch), insert-if-absent per
-    * batch; the publish stage's per-graph fan-out reads it. */
-  val graphIdx = new SnapshotStore(spark, s"$root/graphidx", 1)
+    * batch; the publish stage's per-graph fan-out reads it. MERGE-ON-READ
+    * like every other store: a batch commits only its NEW graphs as a
+    * delta (most batches: none — a metadata-only manifest), never a
+    * rewrite of the accumulated dimension. At thousands of graphs the old
+    * read+commitFull was invisible; at the millions the per-domain graph
+    * model implies, it was the last O(accumulated) write in a batch. */
+  val graphIdx = new SnapshotStore(spark, s"$root/graphidx", 1,
+    deleteKeys = Seq("g"), maxDeltas = maxDeltas)
   private val lineageDir = s"$root/lineage"
   private val quadCols = QuadDiff.quadCols
 
@@ -91,18 +98,27 @@ final class QuadLogPipeline(
     graphIdx.read().map(_.select("g", "g_b64", "firstBatch"))
       .getOrElse(spark.emptyDataFrame)
 
-  private def updateGraphIndex(withG: DataFrame, batchId: Long): Unit = {
-    val gs = withG.select(col("g")).distinct()
+  private def graphDim(withG: DataFrame, batchId: Long): DataFrame =
+    withG.select(col("g")).distinct()
       .withColumn("g_b64", base64(col("g").cast("binary")))
       .withColumn("firstBatch", lit(batchId))
       .withColumn("bucket", lit(0))
-    val merged = graphIdx.read() match {
-      case None => gs
-      case Some(e) =>
-        val kept = e.select("g", "g_b64", "firstBatch", "bucket")
-        kept.unionByName(gs.join(kept.select("g"), Seq("g"), "left_anti"))
-    }
-    graphIdx.commitFull(merged, batchId)
+
+  /** Bootstrap-only: the initial full write of the graph dimension. */
+  private def bootstrapGraphIndex(withG: DataFrame): Unit =
+    graphIdx.commitFull(graphDim(withG, 0L), 0L)
+
+  /** Per-batch insert-if-absent as a MOR delta: additions = graphs first
+    * seen this batch (anti-joined against the accumulated index — a READ
+    * of the small dimension, never a rewrite); tombstones = the same keys
+    * (the coverage contract; they match nothing, being new). A batch with
+    * no new graphs commits a metadata-only manifest (empty-delta skip). */
+  private def appendGraphIndex(withG: DataFrame, batchId: Long): Unit = {
+    val gs = graphDim(withG, batchId)
+    val existing = graphIdx.read().map(_.select("g"))
+      .getOrElse(sys.error("graph index missing: bootstrap first"))
+    val fresh = gs.join(existing, Seq("g"), "left_anti").localCheckpoint()
+    graphIdx.commitDelta(fresh, fresh.select("g", "bucket"), batchId)
   }
 
   // --- extraction front-end ------------------------------------------------
@@ -264,7 +280,7 @@ final class QuadLogPipeline(
     val fFiles = Future(timed("bootstrap.patchFiles") {
       PatchWriter.write(spark, patches, s"$root/patches/batch_0", checkpoint, maxq)
     })
-    val fIdx = Future(updateGraphIndex(sBack, 0L))
+    val fIdx = Future(bootstrapGraphIndex(sBack))
     val (rFiles, rIdx) =
       (scala.util.Try(Await.result(fFiles, Duration.Inf)),
         scala.util.Try(Await.result(fIdx, Duration.Inf)))
@@ -451,7 +467,7 @@ final class QuadLogPipeline(
         .getOrElse(dC.limit(0).drop("d").withColumn("support", lit(0L)))
         .drop("bucket")
         .withColumn("_qh", xxhash64(quadKey: _*))
-        .join(if (nDelta <= 20000000L) broadcast(dKeysH) else dKeysH,
+        .join(if (nDelta <= factsPruneBroadcastKeys) broadcast(dKeysH) else dKeysH,
           Seq("_qh"), "left_semi")
         .drop("_qh")
         .localCheckpoint()
@@ -475,7 +491,7 @@ final class QuadLogPipeline(
     })
     // new graphs can only arrive with '+' patches — patchesC is checkpointed
     // and tiny, so the index merge costs no extra extraction pass
-    val fIdx = Future(updateGraphIndex(patchesC, batchId))
+    val fIdx = Future(appendGraphIndex(patchesC, batchId))
     // MERGE-ON-READ commits: O(batch) additions + tombstones, never a
     // store-sized rewrite (SnapshotStore folds on read; every `maxDeltas`
     // batches the chain folds into a fresh base). Tombstone coverage
@@ -552,6 +568,16 @@ final class QuadLogPipeline(
   /** Quad-identity bucket key: the columns themselves — bucketCol hashes
     * them variadically (xxhash64(s,p,...)), never a concatenated string. */
   private def quadKey = quadCols.map(col)
+
+  /** Facts-prune broadcast gate, BYTE-derived like every other gate in the
+    * repo (tombMax 64 MB file-gated, canon 5M rows): a broadcast hashed
+    * relation of 8-byte keys costs ~32 B/key resident (LongToUnsafeRowMap
+    * entry + row overhead), so 64 MB of executor memory bounds the key
+    * count at 64 MB / 32 B = 2M. The old count gate (20M) admitted a
+    * ~640 MB relation per executor — an OOM risk the hint would force past
+    * autoBroadcastJoinThreshold. Past the gate the prune degrades to a
+    * shuffle semi-join, still narrower than the outer it replaces. */
+  private val factsPruneBroadcastKeys: Long = (64L << 20) / 32
 
   // --- commit marker / recovery ---------------------------------------------
 

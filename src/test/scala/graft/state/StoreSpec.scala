@@ -65,8 +65,12 @@ class SnapshotStoreSpec extends GraftSpec {
   test("merge-on-read deltas: fold equals the closed-form state; chain folds to base") {
     val root = tmpDir("store5")
     val maxD = 3
+    // foldBucketBytes = 0: every data-bearing bucket is "hot", i.e. the
+    // original full fold-to-base — this test pins THAT behavior (base
+    // advances past the bootstrap snapshot); partial folds have their own
+    // tests below
     val st = new SnapshotStore(spark, root, numBuckets = 4,
-      deleteKeys = Seq("k"), maxDeltas = maxD)
+      deleteKeys = Seq("k"), maxDeltas = maxD, foldBucketBytes = 0L)
     def rows(kv: Seq[(String, Int)]) = kv.toDF("k", "v")
       .withColumn("bucket", st.bucketCol(col("k")))
     var model: Map[String, Int] = (1 to 50).map(i => s"k$i" -> i).toMap
@@ -159,11 +163,16 @@ class SnapshotStoreSpec extends GraftSpec {
     // keys, re-adding a key deleted earlier in the chain, rewriting the
     // same key in consecutive deltas, empty batches — across chain
     // bounds that fold never/sometimes/every-batch
+    // foldBucketBytes axis: 0 = always full fold; 2 KB = MIXED (parquet
+    // per-bucket delta files are ~1 KB, so some buckets trip and some
+    // don't across fold events); 8 MB = consolidation-only (no bucket
+    // ever folds to base at this data size)
     val rnd = new scala.util.Random(42)
-    for ((maxD, run) <- Seq((1, "a"), (2, "b"), (4, "c"))) {
+    for ((maxD, run, fbb) <- Seq((1, "a", 0L), (2, "b", 2048L), (4, "c", 8L << 20),
+                                 (2, "d", 0L), (1, "e", 8L << 20))) {
       val root = tmpDir(s"storefuzz_$run") + "/t"
       val st = new SnapshotStore(spark, root, numBuckets = 4,
-        deleteKeys = Seq("k"), maxDeltas = maxD)
+        deleteKeys = Seq("k"), maxDeltas = maxD, foldBucketBytes = fbb)
       def rows(kv: Seq[(String, Int)]) = kv.toDF("k", "v")
         .withColumn("bucket", st.bucketCol(col("k")))
       var model: Map[String, Int] = (1 to 30).map(i => s"k$i" -> i).toMap
@@ -185,6 +194,98 @@ class SnapshotStoreSpec extends GraftSpec {
       }
       st.vacuum()
       assert(st.read().get.select("k", "v").as[(String, Int)].collect().toMap == model)
+    }
+  }
+
+  test("bucket-local fold: hot bucket folds to a new base, quiet chain consolidates") {
+    val root = tmpDir("store9")
+    val maxD = 2
+    val st = new SnapshotStore(spark, root, numBuckets = 4,
+      deleteKeys = Seq("k"), maxDeltas = maxD, foldBucketBytes = 50000L)
+    def rows(kv: Seq[(String, String)]) = kv.toDF("k", "v")
+      .withColumn("bucket", st.bucketCol(col("k")))
+    // discover key->bucket routing driver-side so the test can target one
+    // bucket with fat payloads and keep the others quiet
+    val keys = (1 to 200).map(i => s"k$i")
+    val kb = rows(keys.map(_ -> "x")).select("k", "bucket")
+      .as[(String, Int)].collect().toMap
+    val hotBucket = kb("k1")
+    val hotKeys = keys.filter(k => kb(k) == hotBucket)
+    val quietKeys = keys.filterNot(k => kb(k) == hotBucket)
+    assert(hotKeys.size >= 10 && quietKeys.size >= 10, "bucketing degenerated")
+    // payloads must be INCOMPRESSIBLE (random), or parquet's codec erases
+    // the byte-size signal the hot/quiet split keys on
+    val prnd = new scala.util.Random(7)
+    def fat(): String = Array.fill(10000)((' ' + prnd.nextInt(94)).toChar).mkString
+    var model: Map[String, String] = keys.map(_ -> "base").toMap
+    st.commitFull(rows(model.toSeq), 0L)
+    // 3 deltas (chain trips at the 3rd): each writes ~10 fat rows into the
+    // hot bucket (~100 KB per delta) and 2 small rows elsewhere
+    for (b <- 1 to 3) {
+      val adds = (hotKeys.take(10).map(k => k -> s"${fat()}$b") ++
+        quietKeys.slice(2 * b, 2 * b + 2).map(k => k -> s"small$b")).toMap
+      model = model ++ adds
+      st.commitDelta(rows(adds.toSeq),
+        adds.keys.toSeq.toDF("k").withColumn("bucket", st.bucketCol(col("k"))), b.toLong)
+      assert(st.read().get.select("k", "v").as[(String, String)].collect().toMap == model,
+        s"fold mismatch after batch $b")
+    }
+    // manifest shape after the fold at batch 3: the hot bucket's base moved
+    // to the fold dir (snap_...3B), quiet buckets still point at snap_0's
+    // base, and the chain is ONE delta scoped to a set excluding hotBucket
+    val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/manifest_${f"${3L}%014d"}.txt"))
+    val baseLines = manifest.linesIterator.filterNot(_.startsWith("D\t")).toSeq
+    val hotLine = baseLines.find(_.startsWith(s"$hotBucket\t")).get
+    assert(hotLine.contains("B/bucket="), s"hot bucket base did not fold: $hotLine")
+    assert(baseLines.filterNot(_.startsWith(s"$hotBucket\t"))
+      .forall(l => l.endsWith("\t") || l.contains("snap_00000000000000/")),
+      s"quiet bucket base was rewritten: $baseLines")
+    val dLines = manifest.linesIterator.filter(_.startsWith("D\t")).toSeq
+    assert(dLines.size == 1, s"chain not consolidated: $dLines")
+    val scope = dLines.head.split("\t").last
+    assert(scope != "*" && !scope.split(",").contains(hotBucket.toString),
+      s"consolidated delta not scoped away from the hot bucket: $scope")
+    // continue committing past the fold; semantics hold, then vacuum
+    for (b <- 4 to 6) {
+      val adds = Map(quietKeys(b) -> s"later$b", hotKeys(b) -> s"later$b")
+      model = model ++ adds
+      st.commitDelta(rows(adds.toSeq),
+        adds.keys.toSeq.toDF("k").withColumn("bucket", st.bucketCol(col("k"))), b.toLong)
+    }
+    st.vacuum()
+    assert(st.read().get.select("k", "v").as[(String, String)].collect().toMap == model)
+    // bucket-pruned read of the hot bucket agrees with the full fold
+    val hotRows = st.readBuckets(Seq(hotBucket)).get
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(hotRows == model.filter { case (k, _) => kb(k) == hotBucket })
+  }
+
+  test("empty delta is metadata-only: no chain growth, no fold, no data dirs") {
+    val root = tmpDir("store10")
+    val st = new SnapshotStore(spark, root, numBuckets = 2,
+      deleteKeys = Seq("k"), maxDeltas = 2)
+    val base = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+      .withColumn("bucket", st.bucketCol(col("k")))
+    st.commitFull(base, 0L)
+    val empty = base.limit(0)
+    // maxDeltas(=2)+3 empty batches: were these appended, the chain bound
+    // would have tripped a pointless fold-to-base
+    for (b <- 1 to 5)
+      st.commitDelta(empty, empty.select("k", "bucket"), b.toLong)
+    assert(st.latest.contains(5L))
+    val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$root/manifest_${f"${5L}%014d"}.txt"))
+    assert(!manifest.contains("D\t"), s"empty deltas grew the chain: $manifest")
+    val snapDirs = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("snap_")).toSeq
+    assert(snapDirs == Seq("snap_00000000000000"), s"empty deltas wrote data: $snapDirs")
+    assert(st.read().get.select("k", "v").as[(String, Int)].collect().toMap ==
+      Map("a" -> 1, "b" -> 2))
+    // contract check still bites: additions without covering tombstones
+    intercept[IllegalArgumentException] {
+      st.commitDelta(Seq(("c", 3)).toDF("k", "v")
+        .withColumn("bucket", st.bucketCol(col("k"))), empty.select("k", "bucket"), 6L)
     }
   }
 
