@@ -67,11 +67,19 @@ import java.nio.charset.StandardCharsets
   *                   acceptable write amplification — a base bucket of B
   *                   bytes is rewritten only after >= foldBucketBytes of
   *                   delta volume accumulates in it.
+  * @param termExpr   optional ARRAY column (over the store schema) whose
+  *                   non-null elements are the "terms" of a row. When set,
+  *                   every data write records a per-bucket [[TermBloom]]
+  *                   sidecar, and [[candidateBuckets]] answers "which
+  *                   buckets can contain rows mentioning term X?" without
+  *                   touching data — the index behind bucket-pruned point
+  *                   lookups (the pipeline's remap scan).
   */
 final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int,
                           val deleteKeys: Seq[String] = Seq.empty,
                           val maxDeltas: Int = 4,
-                          val foldBucketBytes: Long = 8L << 20) {
+                          val foldBucketBytes: Long = 8L << 20,
+                          val termExpr: Option[org.apache.spark.sql.Column] = None) {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
@@ -158,6 +166,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     val dataDir = new Path(root, f"snap_$id%014d").toString
     df.repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
+    writeTermSidecar(dataDir, dataDir)
     val base = (0 until numBuckets).map(b => b -> s"$dataDir/bucket=$b").toMap
     writeAtomic(manifestPath(id), manifestText(base, Seq.empty))
   }
@@ -198,6 +207,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       .distinct()
       .repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/tomb")
+    writeTermSidecar(s"$snapDir/add", snapDir)
     val chain = deltas :+ DeltaRef(id, snapDir, None)
     if (chain.size <= maxDeltas)
       writeAtomic(manifestPath(id), manifestText(base, chain))
@@ -271,6 +281,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
         adds.repartition(math.max(quietSorted.size, 1), col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$consDir/add")
       }
+      writeTermSidecar(s"$consDir/add", consDir)
       val tombParts = chain.flatMap(d => loadDelta(s"${d.dir}/tomb", Some(quietSorted), d.scope))
       if (tombParts.nonEmpty) {
         tombParts.map(_.select((deleteKeys :+ "bucket").map(col): _*))
@@ -294,10 +305,97 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
   private def writeBase(df: DataFrame, dataDir: String, parts: Int): Set[Int] = {
     df.repartition(math.max(parts, 1), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
+    writeTermSidecar(dataDir, dataDir)
     val d = new Path(dataDir)
     if (!fs.exists(d)) Set.empty
     else fs.listStatus(d).map(_.getPath.getName)
       .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt).toSet
+  }
+
+  // --- term-membership summaries (bucket-pruned point lookups) -------------
+
+  private def sidecarName = "_terms.bloom"
+
+  /** Build per-bucket [[TermBloom]]s from the parquet just written at
+    * `dataDir` and land them at `<sidecarAt>/_terms.bloom` (the `_` prefix
+    * keeps parquet listings blind to it). Two column-pruned passes over the
+    * written data: a per-bucket row count to size the filters, then the
+    * hash pass with map-side partial blooms OR-reduced per bucket — the
+    * shuffle moves numPartitions x numBuckets filters, never row data.
+    *
+    * A write with NO data (delete-only delta) still lands an EMPTY sidecar:
+    * the sidecar's presence means "authoritative for this dir" — a
+    * tombstone-only delta can never introduce a term, so an empty summary
+    * (no candidate buckets) is exact, while an absent one would force
+    * [[candidateBuckets]] to conservatively include the delta's whole
+    * scope. No-op when [[termExpr]] is unset. */
+  private def writeTermSidecar(dataDir: String, sidecarAt: String): Unit =
+    termExpr.foreach { te =>
+      val p = new Path(dataDir)
+      val hasData = fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket="))
+      val blooms: Map[Int, TermBloom] =
+        if (!hasData) Map.empty
+        else {
+          val termsDf = spark.read.parquet(dataDir)
+            .select(col("bucket"), explode(te).as("_t"))
+            .filter(col("_t").isNotNull)
+            .select(col("bucket").cast("int"), col("_t").cast("string"))
+          val counts: Map[Int, Long] = termsDf.groupBy("bucket").count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          termsDf
+            .as(org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.STRING))
+            .rdd
+            .mapPartitions { it =>
+              val acc = scala.collection.mutable.HashMap.empty[Int, TermBloom]
+              it.foreach { case (b, t) =>
+                acc.getOrElseUpdate(b, TermBloom.sized(counts.getOrElse(b, 1024L)))
+                  .put(TermBloom.hash(t))
+              }
+              acc.iterator
+            }
+            .reduceByKey(_ orWith _)
+            .collect().toMap
+        }
+      TermBloom.write(fs, new Path(sidecarAt, sidecarName), blooms)
+    }
+
+  /** Buckets that CAN contain rows mentioning any of `terms` — the union,
+    * over the base dirs and the delta chain's ADD sides, of buckets whose
+    * membership summary probes true. Tombstone files never contribute: a
+    * tombstone only suppresses rows, so it cannot make a term appear in a
+    * bucket the adds/base did not put it in. A dir with no/unreadable
+    * sidecar contributes all its buckets (conservative: pruning must never
+    * lose a row); within an existing sidecar a bucket with no summary row
+    * had no terms at write time and is excluded. None when the store has
+    * no snapshot or summaries are not enabled. */
+  def candidateBuckets(terms: Iterable[String]): Option[Seq[Int]] = {
+    if (termExpr.isEmpty) return None
+    latest.map { id =>
+      val (base, deltas) = readManifest(id)
+      val hs = terms.map(TermBloom.hash).toArray
+      def probe(blooms: Map[Int, TermBloom], b: Int): Boolean =
+        blooms.get(b).exists(bl => hs.exists(bl.mightContain))
+      val cand = scala.collection.mutable.SortedSet.empty[Int]
+      // NOTE: go through Seq — a Map-shaped collect would key by parent dir
+      // and silently drop all but one bucket per dir from the candidates
+      base.toSeq.collect { case (b, p) if p.nonEmpty => (new Path(p).getParent.toString, b) }
+        .groupBy(_._1).foreach { case (dir, entries) =>
+          TermBloom.read(fs, new Path(dir, sidecarName)) match {
+            case None         => cand ++= entries.map(_._2)
+            case Some(blooms) => cand ++= entries.map(_._2).filter(probe(blooms, _))
+          }
+        }
+      deltas.foreach { d =>
+        val scope = d.scope.getOrElse((0 until numBuckets).toSet)
+        TermBloom.read(fs, new Path(d.dir, sidecarName)) match {
+          case None         => cand ++= scope
+          case Some(blooms) => cand ++= scope.filter(probe(blooms, _))
+        }
+      }
+      cand.toSeq
+    }
   }
 
   /** [[stageDelta]] + pointer flip. */
@@ -339,6 +437,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       newBucketData
         .repartition(math.max(affected.size, 1), col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
+      writeTermSidecar(dataDir, dataDir)
     }
     // a bucket can become empty: parquet partitionBy writes no dir for it,
     // so point such buckets at an empty marker dir

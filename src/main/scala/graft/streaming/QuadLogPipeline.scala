@@ -70,8 +70,16 @@ final class QuadLogPipeline(
   // writes; see SnapshotStore scaladoc — bucket-granularity COW rewrote the
   // whole store every batch because touched urls hash into every bucket).
   // Delete keys: contrib rows belong to a url; facts rows to a quad.
+  // contrib records per-bucket TermBloom sidecars over the IRI slots a
+  // remap lookup probes (s, and oLex when the object is an IRI): a
+  // cluster-merge batch plans a bucket-pruned scan via candidateBuckets
+  // instead of the full store read — at 10^12 contributions a remap
+  // otherwise paid a complete store pass (the last store-sized read in
+  // any incremental path).
   val contrib = new SnapshotStore(spark, s"$root/contrib", numBuckets,
-    deleteKeys = Seq("url"), maxDeltas = maxDeltas)
+    deleteKeys = Seq("url"), maxDeltas = maxDeltas,
+    termExpr = Some(array(col("s"),
+      when(col("oKind") === graft.model.TermKind.Iri, col("oLex")))))
   val facts = new SnapshotStore(spark, s"$root/facts", numBuckets,
     deleteKeys = QuadDiff.quadCols, maxDeltas = maxDeltas)
   // canon is MOR too: the accumulated map is O(all IRIs ever seen) — a
@@ -376,18 +384,34 @@ final class QuadLogPipeline(
       if (nRemap == 0) changedUrls.limit(0)
       else {
         timed("incr.remapScan") {
-          val stored = contrib.read().get
-          val byS = stored
-            .join(remapPairsC.select(col("id").as("s")), Seq("s"), "left_semi")
-            .select(col("url"))
-          val byO = stored
-            .filter(col("oKind") === graft.model.TermKind.Iri)
-            .join(remapPairsC.select(col("id").as("oLex")), Seq("oLex"), "left_semi")
-            .select(col("url"))
-          byS.union(byO).distinct()
-            .join(changedUrls, Seq("url"), "left_anti") // changed pages re-extract anyway
-            .join(deletedUrls.toDF("url"), Seq("url"), "left_anti")
-            .localCheckpoint()
+          // BUCKET-PRUNED scan: the superseded representatives are a tiny
+          // driver-known set (cluster merges are rare), so probe contrib's
+          // per-bucket TermBloom sidecars and read only buckets that can
+          // mention one — IO ∝ candidate buckets, not store size. Falls
+          // back to the full read only when the remap set is too large to
+          // collect (pathological) — bloom false positives already degrade
+          // gracefully toward more buckets, never wrong rows.
+          val storedOpt: Option[DataFrame] =
+            if (nRemap <= remapIdProbeLimit) {
+              val ids = remapPairsC.select("id").as[String].collect().toSeq
+              contrib.candidateBuckets(ids) match {
+                case Some(bs) => lastRemapBuckets = Some(bs); contrib.readBuckets(bs)
+                case None     => lastRemapBuckets = None; contrib.read()
+              }
+            } else { lastRemapBuckets = None; contrib.read() }
+          storedOpt.fold(changedUrls.limit(0)) { stored =>
+            val byS = stored
+              .join(remapPairsC.select(col("id").as("s")), Seq("s"), "left_semi")
+              .select(col("url"))
+            val byO = stored
+              .filter(col("oKind") === graft.model.TermKind.Iri)
+              .join(remapPairsC.select(col("id").as("oLex")), Seq("oLex"), "left_semi")
+              .select(col("url"))
+            byS.union(byO).distinct()
+              .join(changedUrls, Seq("url"), "left_anti") // changed pages re-extract anyway
+              .join(deletedUrls.toDF("url"), Seq("url"), "left_anti")
+              .localCheckpoint()
+          }
         }
       }
 
@@ -568,6 +592,17 @@ final class QuadLogPipeline(
   /** Quad-identity bucket key: the columns themselves — bucketCol hashes
     * them variadically (xxhash64(s,p,...)), never a concatenated string. */
   private def quadKey = quadCols.map(col)
+
+  /** Remap-id collect gate: above this many superseded representatives the
+    * remap scan skips the driver-side bloom probe and reads the full store
+    * (collecting millions of IRI strings to the driver would be the real
+    * scale hazard; the probe exists for the rare-but-recurring small-merge
+    * case). 100k strings ≈ a few MB — safely collectable. */
+  private val remapIdProbeLimit: Long = 100000L
+
+  /** Buckets the last remap scan planned (None = full-store fallback or no
+    * remap yet) — observable plan-shape evidence for specs/benchmarks. */
+  @volatile private[graft] var lastRemapBuckets: Option[Seq[Int]] = None
 
   /** Facts-prune broadcast gate, BYTE-derived like every other gate in the
     * repo (tombMax 64 MB file-gated, canon 5M rows): a broadcast hashed

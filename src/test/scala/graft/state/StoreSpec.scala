@@ -289,6 +289,67 @@ class SnapshotStoreSpec extends GraftSpec {
     }
   }
 
+  test("term sidecars: candidateBuckets prunes point lookups, never loses a row") {
+    val root = tmpDir("store11")
+    val nb = 8
+    val st = new SnapshotStore(spark, root, numBuckets = nb,
+      deleteKeys = Seq("k"), maxDeltas = 8,
+      termExpr = Some(array(col("t1"), col("t2"))))
+    def rows(kvt: Seq[(String, String, String)]) = kvt.toDF("k", "t1", "t2")
+      .withColumn("bucket", st.bucketCol(col("k")))
+    val base = (1 to 64).map(i => (s"k$i", s"term_$i", if (i % 2 == 0) s"shared_even" else null))
+    st.commitFull(rows(base), 0L)
+    val kb = rows(base).select("k", "bucket").as[(String, Int)].collect().toMap
+
+    // no false negative: a stored term's bucket is always a candidate
+    for (i <- Seq(1, 17, 33, 64)) {
+      val cand = st.candidateBuckets(Seq(s"term_$i")).get
+      assert(cand.contains(kb(s"k$i")), s"term_$i's bucket pruned away")
+    }
+    // shared term: every bucket holding an even key is a candidate
+    val evenBuckets = base.filter(_._1.stripPrefix("k").toInt % 2 == 0)
+      .map(t => kb(t._1)).toSet
+    assert(evenBuckets.subsetOf(st.candidateBuckets(Seq("shared_even")).get.toSet))
+    // absent term: pruned well below the full bucket set (bloom FPR ~1%;
+    // deterministic data + hash make this stable)
+    val absent = st.candidateBuckets(Seq("no_such_term_xyz")).get
+    assert(absent.size < nb, s"absent term candidates not pruned: $absent")
+    // plan shape: the pruned read's input files stay inside candidate buckets
+    val cand1 = st.candidateBuckets(Seq("term_1")).get
+    st.readBuckets(cand1).foreach { df =>
+      val ok = cand1.map(b => s"bucket=$b/").toSet
+      assert(df.inputFiles.forall(f => ok.exists(f.contains)),
+        s"pruned read scanned outside candidate buckets: ${df.inputFiles.toSeq}")
+    }
+
+    // delta adds extend the index: a brand-new term in a delta is findable
+    val adds = Seq(("k100", "delta_term", null: String))
+    st.commitDelta(rows(adds),
+      Seq("k100").toDF("k").withColumn("bucket", st.bucketCol(col("k"))), 1L)
+    val cand2 = st.candidateBuckets(Seq("delta_term")).get
+    val b100 = rows(adds).select("bucket").as[Int].head()
+    assert(cand2.contains(b100), "delta-added term's bucket pruned away")
+
+    // delete-only delta writes an EMPTY authoritative sidecar: the delta
+    // contributes no candidates (instead of conservatively its full scope)
+    st.commitDelta(rows(Seq.empty),
+      Seq("k5").toDF("k").withColumn("bucket", st.bucketCol(col("k"))), 2L)
+    assert(new java.io.File(s"$root/snap_${f"${2L}%014d"}/_terms.bloom").exists(),
+      "delete-only delta must land an empty sidecar")
+    assert(st.candidateBuckets(Seq("still_absent_term")).get.size < nb)
+
+    // conservative fallback: a dir with its sidecar gone contributes all
+    // its buckets — pruning degrades, rows are never lost
+    assert(new java.io.File(s"$root/snap_${f"${0L}%014d"}/_terms.bloom").delete())
+    val candAll = st.candidateBuckets(Seq("no_such_term_xyz")).get.toSet
+    assert(base.map(t => kb(t._1)).toSet.subsetOf(candAll),
+      "missing sidecar must include all of that dir's buckets")
+
+    // a store without termExpr has no index
+    val plain = new SnapshotStore(spark, root + "_plain", numBuckets = 2)
+    assert(plain.candidateBuckets(Seq("x")).isEmpty)
+  }
+
   test("delta re-stage after a crash is idempotent; finalize replays cleanly") {
     val root = tmpDir("store7")
     val st = new SnapshotStore(spark, root, numBuckets = 2,

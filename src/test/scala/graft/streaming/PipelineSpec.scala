@@ -186,6 +186,11 @@ class PipelineSpec extends GraftSpec {
     val r1 = pipe.incremental(1L, "20240102000000",
       spark.createDataset(Seq(p1)), spark.emptyDataset[String])
     assert(r1.added > 0 && r1.deleted > 0, "remap must surface as -/+ patches")
+    // plan shape: the remap scan must be BUCKET-PRUNED via contrib's term
+    // blooms (the one stored url's bucket, not the full store) — the last
+    // store-sized read in any incremental path is gone
+    assert(pipe.lastRemapBuckets.exists(bs => bs.nonEmpty && bs.size < pipe.contrib.numBuckets),
+      s"remap batch planned an unpruned scan: ${pipe.lastRemapBuckets}")
 
     val cur = pipe.currentQuads
     assert(cur.filter(col("s") === entityIri || col("oLex") === entityIri).count() == 0,
