@@ -159,6 +159,105 @@ object Micro {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("MINHASH_HOF")) {
+      // pins the cost of the HOF aggregate()/transform() signature path
+      // (CodegenFallback — interpreted) against a typed mapPartitions
+      // kernel computing the same 16 minhashes, at the CANON shape: short
+      // character-3-gram shingle arrays of IRI local names. The HOF form
+      // is only acceptable because this input is churn-sized; this probe
+      // is the measurement behind the Canon.scala comment saying so.
+      val rows = sys.env("MINHASH_HOF").toLong
+      val toks = spark.range(0, rows).select(
+          col("id").cast("string").as("id"),
+          split(md5(col("id").cast("string")), "").as("toks"))
+        .filter(size(col("toks")) > 0)
+        .localCheckpoint()
+      def sigChecksum(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(xxhash64(col("id"), concat_ws(",", col("sig").cast("array<string>"))).as("h"))
+          .agg(bit_xor(col("h"))).head().getLong(0)
+      val nH = 16
+      def hof() = sigChecksum(graft.canon.MinHashBlocking.signatures(toks, nH))
+      def typed(): Long = {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+          StructField("id", StringType), StructField("sig", ArrayType(LongType)))))
+        val out = toks.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getString(0)
+            val ts = r.getSeq[String](1)
+            val sig = new Array[Long](nH)
+            var i = 0
+            while (i < nH) {
+              var m = Long.MaxValue
+              ts.foreach { t =>
+                val h = graft.sources.XXH64.hashString(t, i.toLong)
+                if (h < m) m = h
+              }
+              sig(i) = m; i += 1
+            }
+            Row(id, sig.toSeq)
+          }
+        }(enc)
+        sigChecksum(out)
+      }
+      hof(); typed() // JIT warmup
+      for (r <- 1 to 2) time(s"minhash HOF aggregate #$r")(hof())
+      for (r <- 1 to 2) time(s"minhash typed kernel  #$r")(typed())
+      spark.stop(); return
+    }
+    if (sys.env.contains("REMAP_SCALE")) {
+      // before/after evidence for the bucket-pruned remap scan: a contrib-
+      // shaped store (quads keyed by url, term blooms over s/oLex) at N
+      // rows; the remap lookup = semi-join of the store against a tiny
+      // superseded-representative set. FULL = read every bucket (the old
+      // shape); PRUNED = candidateBuckets probe + readBuckets. Same result
+      // set by construction — the probe prints both timings + the planned
+      // bucket counts.
+      val rows = sys.env("REMAP_SCALE").toLong
+      val nb = 64
+      val root = Bench.scratchRoot("micro_remap")
+      val st = new graft.state.SnapshotStore(spark, root + "/contrib", nb,
+        deleteKeys = Seq("url"),
+        termExpr = Some(array(col("s"), when(col("oKind") === 0, col("oLex")))))
+      val df = spark.range(0, rows).select(
+          concat(lit("https://host"), pmod((col("id") / lit(30)).cast("long"), lit(9973)),
+            lit(".example.org/page/"), (col("id") / lit(30)).cast("long")).as("url"),
+          concat(lit("http://kg.example.org/entity/"),
+            md5((col("id") / lit(20)).cast("long").cast("string"))).as("s"),
+          concat(lit("http://kg.example.org/rel/"), pmod(col("id"), lit(40))).as("p"),
+          concat(lit("http://kg.example.org/entity/"),
+            md5(concat((col("id") / lit(35)).cast("long").cast("string"), lit("o")))).as("oLex"),
+          lit(0).as("oKind"))
+        .withColumn("bucket", st.bucketCol(col("url")))
+      time(s"store commitFull ($rows rows, $nb buckets, +bloom sidecars)") {
+        st.commitFull(df, 0L)
+      }
+      // the superseded reps: 8 real stored IRIs (hit path) — the realistic
+      // cluster-merge shape (a handful of winners swallow a handful of reps)
+      val reps = st.read().get.select(col("s").as("id")).limit(8)
+        .as[String].collect().toSeq
+      def semiCount(stored: org.apache.spark.sql.DataFrame): Long = {
+        val ids = reps.toDF("id")
+        val byS = stored.join(ids.withColumnRenamed("id", "s"), Seq("s"), "left_semi")
+          .select("url")
+        val byO = stored.filter(col("oKind") === 0)
+          .join(ids.withColumnRenamed("id", "oLex"), Seq("oLex"), "left_semi")
+          .select("url")
+        byS.union(byO).distinct().count()
+      }
+      semiCount(st.read().get) // warmup
+      var full = 0L; var pruned = 0L
+      for (r <- 1 to 2) full = time(s"remap FULL store scan #$r")(semiCount(st.read().get))
+      val cand = time("candidateBuckets probe")(st.candidateBuckets(reps).get)
+      println(s"[micro] remap candidate buckets: ${cand.size} / $nb")
+      for (r <- 1 to 2) pruned = time(s"remap PRUNED scan #$r") {
+        st.readBuckets(cand).map(semiCount).getOrElse(0L)
+      }
+      assert(full == pruned, s"pruned remap scan lost rows: $pruned != $full")
+      println(s"[micro] remap urls touched: $full (full == pruned)")
+      spark.stop(); return
+    }
     if (sys.env.contains("CPU_BURN")) {
       time("cpu burn warm")(spark.range(0, 500000000L).selectExpr("bit_xor(xxhash64(id))").head())
       time("cpu burn 1")(spark.range(0, 40000000000L).selectExpr("bit_xor(xxhash64(id))").head())

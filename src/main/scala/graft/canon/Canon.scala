@@ -151,7 +151,14 @@ object MinHashBlocking {
   /** df(id, toks: array<string>) -> signatures df(id, sig: array<bigint>). */
   def signatures(df: DataFrame, numHashes: Int): DataFrame = {
     val sigCols = (0 until numHashes).map { i =>
-      // min over tokens of xxhash64(token, seed_i): aggregate() stays codegen'd
+      // min over tokens of xxhash64(token, seed_i). NOTE: Spark's HOF
+      // aggregate()/transform() are CodegenFallback (interpreted,
+      // allocation-heavy — the repo's round-2/3 measured lesson; see
+      // Similarity.scala's scaladoc and the typed kernels in Dedup). That
+      // is acceptable HERE ONLY because this path's input is the
+      // churn-sized canon IRI shingle set (thousands of short arrays per
+      // batch), never a corpus-sized column — Micro's MINHASH_HOF probe
+      // pins the cost; do NOT copy this pattern onto document text.
       aggregate(
         transform(col("toks"), t => xxhash64(t, lit(i))),
         lit(Long.MaxValue),
@@ -361,21 +368,44 @@ object IriCanonicalizer {
 
   /** Narrow per-url-run dedup (see [[canonicalizeAttributed]]): keeps the
     * first occurrence of each quad within a consecutive run of rows
-    * sharing a url. Memory = one PAGE's quad keys, never a partition's. */
+    * sharing a url. Memory = one PAGE's quad keys for the dedup set, plus
+    * one url string per ENDED run for the contract guard.
+    *
+    * The contract (each url's rows consecutive within one partition) is
+    * ENFORCED, not assumed: a url reappearing after its run ended — a
+    * future exchange slipping into the plan, an AQE re-plan, or a batch
+    * carrying the same url twice — raises instead of silently leaving
+    * duplicate (url, quad) rows that would corrupt the signed-delta
+    * support counts downstream. Dedup keys are length-prefixed per field,
+    * so arbitrary crawled content (NUL bytes included) can never make two
+    * distinct quads collide. */
   private def dedupWithinUrlRuns(df: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(df.schema)
     df.mapPartitions { it =>
       var curUrl: String = null
       val seen = new java.util.HashSet[String]()
+      val ended = new java.util.HashSet[String]()
       it.filter { r =>
         val url = r.getString(0)
-        if (url != curUrl) { curUrl = url; seen.clear() }
+        if (url != curUrl) {
+          if (curUrl != null) ended.add(curUrl)
+          if (ended.contains(url))
+            sys.error(s"url-run contract violated: '$url' reappears after its " +
+              "run ended (exchange in the rewrite plan, or a batch with " +
+              "duplicate urls) — this path requires url-grouped input; the " +
+              "caller must fall back to the global dedup")
+          curUrl = url; seen.clear()
+        }
+        // length-prefixed fields ("<len>:<chars>", nulls as "n") — decodable
+        // for ANY field content, unlike sentinel-joined keys
         val k = new java.lang.StringBuilder(96)
         var i = 1
         while (i < 8) {
-          if (r.isNullAt(i)) k.append('\u0001')
-          else k.append(r.get(i).toString)
-          k.append('\u0000')
+          if (r.isNullAt(i)) k.append('n')
+          else {
+            val s = r.get(i).toString
+            k.append(s.length).append(':').append(s)
+          }
           i += 1
         }
         seen.add(k.toString)

@@ -573,10 +573,17 @@ object ZipPublisher {
       // downstream is indistinguishable from an empty dump and would
       // orphan-relist every published zip. Zero entries from a document
       // that declares itself a sitemapindex is therefore a loud failure.
-      val chunkRx = """(?s)<sitemap\b[^>]*>.*?<loc\b[^>]*>\s*([^<]+?)\s*</loc>""".r
-      val names = chunkRx.findAllMatchIn(top)
-        .map(_.group(1).split('/').last).toSeq
+      // ...but scoped to ONE <sitemap> element at a time: split on the
+      // close tag, then take the first <loc> within each element. A
+      // cross-element (?s) .*? would pair a loc-less <sitemap> with the
+      // NEXT element's <loc>, silently skipping an entry.
+      val locRx = """(?s)<sitemap\b[^>]*>.*?<loc\b[^>]*>\s*([^<]+?)\s*</loc>""".r
+      val names = top.split("</sitemap>").toSeq
+        .flatMap(el => locRx.findFirstMatchIn(el).map(_.group(1).split('/').last))
       if (names.isEmpty)
+        // our own writer only emits a sitemapindex when it has chunk names
+        // (writeDump), so zero entries = corrupt metadata, not a legal
+        // empty dump — fail loudly rather than orphan-relist every zip
         sys.error(s"sitemapindex at $dumpPath yielded no <sitemap><loc> chunk entries; " +
           "refusing to treat a non-empty index as an empty dump")
       names.flatMap { n =>
