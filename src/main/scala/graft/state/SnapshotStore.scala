@@ -84,6 +84,56 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
 
+  // --- single-writer lease (guard rail, not a distributed lock) ------------
+
+  /** This instance's writer identity for the `_lease` guard. */
+  val writerId: String = java.util.UUID.randomUUID().toString
+
+  /** Foreign leases older than this are presumed crashed and taken over. */
+  val leaseTimeoutMs: Long = 30L * 60 * 1000
+
+  private def leasePath = new Path(root, "_lease")
+
+  private def readLease: Option[String] = {
+    if (!fs.exists(leasePath)) None
+    else {
+      val in = fs.open(leasePath)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).trim)
+      catch { case _: java.io.IOException => None }
+      finally in.close()
+    }
+  }
+
+  /** Claim the writer lease for a mutating data operation. The store
+    * assumes a SINGLE writer (vacuum, fold and manifest writes are not
+    * concurrency-safe); this makes a second concurrent writer FAIL LOUDLY
+    * instead of silently corrupting manifests. Best-effort by design — the
+    * check-then-write window is not atomic across writers — but any sanely
+    * scheduled second writer hits the error, which is the guard's job.
+    * A lease left by a crashed writer expires after [[leaseTimeoutMs]]
+    * (or [[breakLease]] forces it). Re-claiming one's own lease always
+    * succeeds, so a retry after a failed stage is never blocked. */
+  private def claimLease(): Unit = {
+    readLease.foreach { holder =>
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(leasePath).getModificationTime
+      if (holder != writerId && age < leaseTimeoutMs)
+        sys.error(s"concurrent writer on $root: lease held by $holder " +
+          s"(age ${age / 1000}s < ${leaseTimeoutMs / 1000}s). A second " +
+          "writer would corrupt manifests; if the holder crashed, wait out " +
+          "the lease or call breakLease() after verifying it is dead.")
+    }
+    writeAtomic(leasePath, writerId)
+  }
+
+  /** Release the lease if this writer holds it (stage completion). */
+  private def releaseLease(): Unit =
+    if (readLease.contains(writerId)) fs.delete(leasePath, false)
+
+  /** Operator override: force-remove the lease of a verified-dead writer. */
+  def breakLease(): Unit = if (fs.exists(leasePath)) fs.delete(leasePath, false)
+
   /** Bucket id from one or more key columns. xxhash64 is variadic — hashing
     * the columns directly avoids materializing a concatenated key string per
     * row (the row/string allocation the 8->32 scaling profile blamed). */
@@ -163,12 +213,14 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * commit marker, then [[finalizeCommit]]s all of them; a crash in
     * between is repaired by replaying the finalize (metadata-only). */
   def stageFull(df: DataFrame, id: Long): Unit = {
+    claimLease()
     val dataDir = new Path(root, f"snap_$id%014d").toString
     df.repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
     writeTermSidecar(dataDir, dataDir)
     val base = (0 until numBuckets).map(b => b -> s"$dataDir/bucket=$b").toMap
     writeAtomic(manifestPath(id), manifestText(base, Seq.empty))
+    releaseLease()
   }
 
   /** Stage a MERGE-ON-READ delta commit: O(batch) writes regardless of
@@ -178,6 +230,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * `maxDeltas` the fold runs — bucket-local, see [[foldChain]]. */
   def stageDelta(additions: DataFrame, tombstones: DataFrame, id: Long): Unit = {
     require(deleteKeys.nonEmpty, s"stageDelta on a COW-only store: $root")
+    claimLease()
     val prevId = latest.getOrElse(sys.error("stageDelta on empty store"))
     val (base, deltas) = readManifest(prevId)
     // A no-op batch must not grow the chain: maxDeltas empty deltas would
@@ -192,6 +245,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       require(additions.isEmpty,
         s"stageDelta contract violated: additions without covering tombstones: $root")
       writeAtomic(manifestPath(id), manifestText(base, deltas))
+      releaseLease()
       return
     }
     val snapDir = new Path(root, f"snap_$id%014d").toString
@@ -213,6 +267,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       writeAtomic(manifestPath(id), manifestText(base, chain))
     else
       foldChain(base, chain, id)
+    releaseLease()
   }
 
   /** Cap on distinct snap dirs the base may fragment across: each distinct
@@ -428,6 +483,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * silently orphan chained deltas of other buckets) — delta-committing
     * callers use [[stageDelta]], whose fold restores chain-free state. */
   def stageMerge(newBucketData: DataFrame, affected: Seq[Int], id: Long): Unit = {
+    claimLease()
     val prevId = latest.getOrElse(sys.error("mergeBuckets on empty store"))
     val (prev, chain) = readManifest(prevId)
     require(chain.isEmpty,
@@ -458,6 +514,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       s"$b\t$path"
     }.mkString("\n")
     writeAtomic(manifestPath(id), entries)
+    releaseLease()
   }
 
   // --- reads ---------------------------------------------------------------
@@ -578,6 +635,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * safe). Crash mid-vacuum leaves garbage, never damage — only
     * unreferenced dirs are deleted. */
   def vacuum(): Unit = latest.foreach { id =>
+    claimLease()
     val (base, deltas) = readManifest(id)
     val live: Set[String] =
       base.values.filter(_.nonEmpty).map(p => new Path(p).getParent.getName).toSet ++
@@ -599,6 +657,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       .filter(p => p.getName.startsWith("manifest_") &&
         numOf(p.getName, "manifest_", ".txt") < id)
       .foreach(p => fs.delete(p, false))
+    releaseLease()
   }
 
   /** Epoch handshake (reference vql_started_at.txt, T6 cascading reset). */

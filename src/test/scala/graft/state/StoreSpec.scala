@@ -350,6 +350,42 @@ class SnapshotStoreSpec extends GraftSpec {
     assert(plain.candidateBuckets(Seq("x")).isEmpty)
   }
 
+  test("multi-writer guard: a live foreign lease fails a stage loudly, store intact") {
+    val root = tmpDir("store12")
+    val st = new SnapshotStore(spark, root, numBuckets = 2,
+      deleteKeys = Seq("k"), maxDeltas = 8)
+    val base = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+      .withColumn("bucket", st.bucketCol(col("k")))
+    st.commitFull(base, 0L)
+    // simulate another writer mid-stage: a fresh lease under a foreign id
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/_lease"),
+      "other-writer-uuid")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/._lease.crc"))
+    val adds = Seq(("c", 3)).toDF("k", "v").withColumn("bucket", st.bucketCol(col("k")))
+    val tombs = Seq("c").toDF("k").withColumn("bucket", st.bucketCol(col("k")))
+    val e = intercept[RuntimeException] { st.stageDelta(adds, tombs, 1L) }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    intercept[RuntimeException] { st.stageFull(base, 1L) }
+    intercept[RuntimeException] { st.vacuum() }
+    // store unharmed: pointer and content unchanged
+    assert(st.latest.contains(0L))
+    assert(st.read().get.select("k", "v").as[(String, Int)].collect().toMap ==
+      Map("a" -> 1, "b" -> 2))
+    // operator break -> the stage proceeds; a completed stage releases the
+    // lease so the next writer is never blocked
+    st.breakLease()
+    st.commitDelta(adds, tombs, 1L)
+    assert(!new java.io.File(s"$root/_lease").exists(), "lease not released")
+    assert(st.read().get.select("k", "v").as[(String, Int)].collect().toMap ==
+      Map("a" -> 1, "b" -> 2, "c" -> 3))
+    // a writer always re-claims its OWN lease (retry after failed stage)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/_lease"), st.writerId)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$root/._lease.crc"))
+    st.commitDelta(Seq(("d", 4)).toDF("k", "v").withColumn("bucket", st.bucketCol(col("k"))),
+      Seq("d").toDF("k").withColumn("bucket", st.bucketCol(col("k"))), 2L)
+    assert(st.read().get.count() == 4)
+  }
+
   test("delta re-stage after a crash is idempotent; finalize replays cleanly") {
     val root = tmpDir("store7")
     val st = new SnapshotStore(spark, root, numBuckets = 2,
