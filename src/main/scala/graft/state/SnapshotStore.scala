@@ -371,12 +371,36 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
 
   private def sidecarName = "_terms.bloom"
 
+  /** Upper bound on terms a single row's [[termExpr]] array yields — sizes
+    * the per-bucket blooms from footer row counts. Oversizing is cheap
+    * (bits), undersizing raises FPR; 2 fits the IRI-slot arrays the
+    * pipeline indexes. */
+  private val termsPerRowHint = 2
+
+  /** Per-bucket row counts from parquet FOOTERS — driver-side metadata
+    * reads (one open per file, no Spark job). */
+  private def footerRowCounts(dataDir: Path): Map[Int, Long] =
+    fs.listStatus(dataDir).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("bucket="))
+      .map { d =>
+        val b = d.getPath.getName.stripPrefix("bucket=").toInt
+        val n = fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, hconf))
+            try r.getRecordCount finally r.close()
+          }.sum
+        b -> n
+      }.toMap
+
   /** Build per-bucket [[TermBloom]]s from the parquet just written at
     * `dataDir` and land them at `<sidecarAt>/_terms.bloom` (the `_` prefix
-    * keeps parquet listings blind to it). Two column-pruned passes over the
-    * written data: a per-bucket row count to size the filters, then the
-    * hash pass with map-side partial blooms OR-reduced per bucket — the
-    * shuffle moves numPartitions x numBuckets filters, never row data.
+    * keeps parquet listings blind to it). ONE column-pruned pass over the
+    * written data: filters are pre-sized from parquet footer row counts
+    * (driver-side metadata, no job), then the hash pass runs with map-side
+    * partial blooms OR-reduced per bucket — the shuffle moves
+    * numPartitions x numBuckets filters, never row data.
     *
     * A write with NO data (delete-only delta) still lands an EMPTY sidecar:
     * the sidecar's presence means "authoritative for this dir" — a
@@ -392,12 +416,12 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       val blooms: Map[Int, TermBloom] =
         if (!hasData) Map.empty
         else {
+          val counts = footerRowCounts(p).view
+            .mapValues(n => math.max(n, 1L) * termsPerRowHint).toMap
           val termsDf = spark.read.parquet(dataDir)
             .select(col("bucket"), explode(te).as("_t"))
             .filter(col("_t").isNotNull)
             .select(col("bucket").cast("int"), col("_t").cast("string"))
-          val counts: Map[Int, Long] = termsDf.groupBy("bucket").count()
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
           termsDf
             .as(org.apache.spark.sql.Encoders.tuple(
               org.apache.spark.sql.Encoders.scalaInt, org.apache.spark.sql.Encoders.STRING))

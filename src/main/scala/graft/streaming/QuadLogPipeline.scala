@@ -156,7 +156,13 @@ final class QuadLogPipeline(
     * comparison join is churn-sized instead of accumulated-map-sized. */
   private def extendedCanonMap(rawQuads: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val iris = candidateIris(rawQuads)
-    val old = canon.read().map(_.select("id", "canonical"))
+    // materialize the FOLDED canon view once per batch: extendMapParts and
+    // the remap comparison scan it ~6x (domain union, touched/untouched
+    // splits, remap join), and each scan re-ran the merge-on-read fold
+    // join over base+chain parquet. One checkpoint costs the same as ONE
+    // of those scans and the pipeline already materializes the full
+    // extended map (`m`) per batch, so this adds no new asymptotic cost.
+    val old = canon.read().map(_.select("id", "canonical").localCheckpoint())
     val (m, changed) = timed("canonicalMap") {
       old match {
         case None =>
@@ -424,16 +430,28 @@ final class QuadLogPipeline(
 
     val oldInBuckets = contrib.readBuckets(affectedBuckets)
       .getOrElse(spark.emptyDataFrame)
+    // On a REMAP batch the touched-old rows feed TWO consumers (the signed
+    // delta and the remap rewrite), and each lazy consumption re-ran the
+    // bucket-pruned merge-on-read fold over the store. Checkpoint the
+    // CHURN-SIZED semi-join result once (O(touched urls' rows), never
+    // O(store)) and derive both from it — one fold scan per batch. On the
+    // common no-remap batch there is exactly one consumer, so no
+    // materialization is added.
     val oldContrib =
       if (oldInBuckets.columns.isEmpty) newContrib.limit(0)
-      else oldInBuckets.join(touchedUrls.select("url"), Seq("url"), "left_semi")
+      else {
+        val touched = oldInBuckets.join(touchedUrls.select("url"), Seq("url"), "left_semi")
+        if (nRemap == 0) touched
+        else timed("incr.oldTouched")(touched.localCheckpoint())
+      }
 
     // rewritten state of remap-affected urls = their stored rows passed
-    // through the (oldRep -> newRep) map
+    // through the (oldRep -> newRep) map. remapUrls ⊆ touchedUrls, so the
+    // checkpointed oldContrib already holds these rows.
     val rewrittenOld =
       if (nRemap == 0) newContrib.limit(0)
       else IriCanonicalizer.canonicalizeAttributed(
-          oldInBuckets.join(remapUrls, Seq("url"), "left_semi").drop("bucket"),
+          oldContrib.join(remapUrls, Seq("url"), "left_semi").drop("bucket"),
           remapPairsC, nRemap)
         .withColumn("bucket", contrib.bucketCol(col("url")))
     // Materialize the batch's new contributions ONCE: both the signed delta
