@@ -488,32 +488,38 @@ final class QuadLogPipeline(
     // PRUNE the old-facts side to the changed quads before the transition
     // join: unchanged rows contribute no patch and no new state, and under
     // merge-on-read they are carried forward by the base, untouched. The
-    // semi join is EXPLICITLY broadcast when the churn-key set is sane
-    // (xxhash-size-gated, same policy as the canon rewrite): that keeps the
-    // prune a NARROW pass over the store scan — no store-sized exchange
-    // anywhere in the batch. The pruned result is churn-sized; checkpoint
-    // it once so the transition join (now two churn-sized sides) feeds both
-    // the patch set and the delta additions without re-running the scan
-    // per sink. A pathological batch over the gate degrades to a shuffle
-    // semi — still narrower than the full-width outer it replaces.
-    // the prune key is a HASH of the quad (8 bytes/key instead of the full
-    // string row — a 450k-quad batch broadcasts ~4 MB, not ~135 MB, and
-    // the broadcast build was the scan's dominant cost). Hash collisions
-    // only let extra unchanged rows through the prune; the transition
-    // marks them d-null and supportTransitionDelta drops them from both
-    // patches and additions, so correctness never depends on the hash.
+    // prune is a broadcast BLOOM FILTER over the churn's xxhash64 quad
+    // keys, probed by a codegen'd predicate inside the scan's own
+    // whole-stage span — a NARROW pass over the store, no store-sized
+    // exchange anywhere in the batch, and no join at all on this path.
+    //
+    // Why bloom, not a broadcast key-set semi join: the hashed relation
+    // costs ~32 B/key resident, so any byte-sane gate caps it at a few
+    // million keys — and past the gate the fallback SHUFFLES the whole
+    // store scan, a cliff measured at 60s on a 40M-quad store the moment
+    // churn crossed the gate (BENCH.md round 6). The bloom costs 10 BITS
+    // per key (4M churn keys ≈ 5 MB), is capped at 64 MB — 53M keys at
+    // ~1% FPR — and past the cap it saturates GRACEFULLY: FPR rises, the
+    // pruned set widens, nothing shuffles and nothing breaks. A false
+    // positive behaves exactly like the hash collisions this path already
+    // tolerates: the row passes the prune, the transition join finds no
+    // delta partner, marks it d-null, and supportTransitionDelta drops it
+    // from both patches and additions — correctness never depends on the
+    // filter. The pruned result is churn-sized; checkpoint it once so the
+    // transition join (two churn-sized sides) feeds both the patch set
+    // and the delta additions without re-running the scan per sink.
     val nDelta = dC.count() // cheap: dC is localCheckpointed
-    val dKeysH = dC.select(xxhash64(quadKey: _*).as("_qh")).distinct()
+    val churnBloom = spark.sparkContext.broadcast(
+      graft.functions.BloomProbe.build(
+        dC.select(xxhash64(quadKey: _*)), nDelta, factsPruneBloomMaxBits))
     val oldFacts = timed("incr.oldFactsScan") {
       facts.readBuckets(factBuckets)
         .getOrElse(dC.limit(0).drop("d").withColumn("support", lit(0L)))
         .drop("bucket")
-        .withColumn("_qh", xxhash64(quadKey: _*))
-        .join(if (nDelta <= factsPruneBroadcastKeys) broadcast(dKeysH) else dKeysH,
-          Seq("_qh"), "left_semi")
-        .drop("_qh")
+        .filter(graft.functions.BloomProbe(churnBloom, xxhash64(quadKey: _*)))
         .localCheckpoint()
     }
+    churnBloom.unpersist() // oldFacts is materialized; free the bits
     val (patches0, newFactRows) = QuadDiff.supportTransitionDelta(
       oldFacts, dC.drop("bucket"))
     val patchesC = patches0.localCheckpoint() // small; read by write + tally
@@ -622,15 +628,18 @@ final class QuadLogPipeline(
     * remap yet) — observable plan-shape evidence for specs/benchmarks. */
   @volatile private[graft] var lastRemapBuckets: Option[Seq[Int]] = None
 
-  /** Facts-prune broadcast gate, BYTE-derived like every other gate in the
-    * repo (tombMax 64 MB file-gated, canon 5M rows): a broadcast hashed
-    * relation of 8-byte keys costs ~32 B/key resident (LongToUnsafeRowMap
-    * entry + row overhead), so 64 MB of executor memory bounds the key
-    * count at 64 MB / 32 B = 2M. The old count gate (20M) admitted a
-    * ~640 MB relation per executor — an OOM risk the hint would force past
-    * autoBroadcastJoinThreshold. Past the gate the prune degrades to a
-    * shuffle semi-join, still narrower than the outer it replaces. */
-  private val factsPruneBroadcastKeys: Long = (64L << 20) / 32
+  /** Facts-prune bloom cap, BYTE-derived like every other bound in the
+    * repo (tombMax 64 MB file-gated, canon 5M rows): 2^29 bits = 64 MB of
+    * broadcast — at ~10 bits/key that is 53M churn keys at ~1% FPR. This
+    * is a SATURATION point, not a cliff: a bigger churn just raises the
+    * false-positive rate (at 100M keys ≈ 5.4 bits/key the FPR is ~11% —
+    * the prune still drops ~89% of unchanged rows), it never switches
+    * plan shape. The predecessors both had cliffs: a broadcast hashed
+    * key-set costs ~32 B/key resident, so any byte-sane gate caps at ~2M
+    * keys, and past the gate the fallback shuffle semi-join dragged the
+    * whole store scan through an exchange (measured +60 s on a 40M-quad
+    * store at the 3.2M-page point, BENCH.md round 6). */
+  private val factsPruneBloomMaxBits: Long = 1L << 29
 
   // --- commit marker / recovery ---------------------------------------------
 
