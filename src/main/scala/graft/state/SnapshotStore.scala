@@ -74,12 +74,18 @@ import java.nio.charset.StandardCharsets
   *                   buckets can contain rows mentioning term X?" without
   *                   touching data — the index behind bucket-pruned point
   *                   lookups (the pipeline's remap scan).
+  * @param tombBroadcastBytes on-disk tombstone size up to which the read
+  *                   fold broadcasts the tombstone side outright (one
+  *                   narrow pass); past it the fold bloom-splits the row
+  *                   stream instead of shuffling it (see [[assemble]]).
+  *                   Exposed mainly so specs can force the bloom path.
   */
 final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int,
                           val deleteKeys: Seq[String] = Seq.empty,
                           val maxDeltas: Int = 4,
                           val foldBucketBytes: Long = 8L << 20,
-                          val termExpr: Option[org.apache.spark.sql.Column] = None) {
+                          val termExpr: Option[org.apache.spark.sql.Column] = None,
+                          val tombBroadcastBytes: Long = 64L << 20) {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
@@ -622,16 +628,40 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       .groupBy(deleteKeys.map(col): _*).agg(max("_ttag").as("_ttag"))
     // tombstone side is churn-sized; broadcast it EXPLICITLY while its
     // on-disk footprint is small (file-length sum — no extra job) so the
-    // fold join stays a narrow pass over the store-sized stream. Past the
-    // gate it degrades to a shuffle join rather than a wrong broadcast.
+    // fold join stays a narrow pass over the store-sized stream.
     val tombBytes = deltas.map { d =>
       val p = new Path(s"${d.dir}/tomb")
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
     }.sum
-    val tombSide = if (tombBytes <= (64L << 20)) broadcast(tombMax) else tombMax
-    Some(rows.join(tombSide, deleteKeys, "left")
-      .filter(col("_ttag").isNull || col("_wtag") >= col("_ttag"))
-      .drop("_wtag", "_ttag"))
+    if (tombBytes <= tombBroadcastBytes)
+      Some(rows.join(broadcast(tombMax), deleteKeys, "left")
+        .filter(col("_ttag").isNull || col("_wtag") >= col("_ttag"))
+        .drop("_wtag", "_ttag"))
+    else {
+      // Past the gate, do NOT shuffle the store-sized row stream (the old
+      // fallback dragged the whole base through an exchange). Bloom-split
+      // it instead: rows whose key fails a bloom over the tombstone keys
+      // provably have no tombstone — they bypass the join entirely on a
+      // second narrow scan; only the bloom-hit subset (~tombstones + FPR)
+      // takes the exact join, so whatever strategy it picks moves
+      // ~tombstone-sized data. Two narrow scans of the store, zero
+      // store-sized exchange, at ANY tombstone volume. The bloom is sized
+      // from the on-disk byte count (parquet key rows compress to well
+      // over 16 B each, so bytes/16 over-counts keys — an oversized
+      // filter, capped at 64 MB of bits where it saturates gracefully).
+      val keyHash = xxhash64(deleteKeys.map(col): _*)
+      val bloomB = spark.sparkContext.broadcast(
+        graft.functions.BloomProbe.build(
+          tombMax.select(xxhash64(deleteKeys.map(col): _*)),
+          math.max(tombBytes / 16, 1L), maxBits = 1L << 29))
+      val pred = graft.functions.BloomProbe(bloomB, keyHash)
+      val cold = rows.filter(!pred).drop("_wtag")
+      val hot = rows.filter(pred)
+        .join(tombMax, deleteKeys, "left")
+        .filter(col("_ttag").isNull || col("_wtag") >= col("_ttag"))
+        .drop("_wtag", "_ttag")
+      Some(cold.unionByName(hot))
+    }
   }
 
   /** Read the full latest snapshot (None if store empty or all buckets

@@ -437,10 +437,28 @@ final class QuadLogPipeline(
     // O(store)) and derive both from it — one fold scan per batch. On the
     // common no-remap batch there is exactly one consumer, so no
     // materialization is added.
+    //
+    // The url restriction itself is a bloom PRE-filter + exact semi join.
+    // Unlike the facts prune, the bloom alone is NOT enough here: a false
+    // positive would let an untouched url's rows into the -1 side of the
+    // signed delta with no +1 partner — a fabricated deletion. So the
+    // exact join stays, but it runs AFTER the codegen'd bloom probe has
+    // dropped the overwhelmingly-untouched store rows inside the scan
+    // itself: whatever strategy the exact semi picks (broadcast when the
+    // url set is small, shuffle when it is not), it moves ~churn rows,
+    // never the store. Without the pre-filter, a churn past the broadcast
+    // estimate silently sort-merge-joined the ENTIRE store scan.
+    val urlBloom = spark.sparkContext.broadcast(
+      graft.functions.BloomProbe.build(
+        touchedUrls.select(xxhash64(col("url"))),
+        touchedUrls.count(), // cached; materialized by affectedBuckets above
+        factsPruneBloomMaxBits))
     val oldContrib =
       if (oldInBuckets.columns.isEmpty) newContrib.limit(0)
       else {
-        val touched = oldInBuckets.join(touchedUrls.select("url"), Seq("url"), "left_semi")
+        val touched = oldInBuckets
+          .filter(graft.functions.BloomProbe(urlBloom, xxhash64(col("url"))))
+          .join(touchedUrls.select("url"), Seq("url"), "left_semi")
         if (nRemap == 0) touched
         else timed("incr.oldTouched")(touched.localCheckpoint())
       }
@@ -481,6 +499,7 @@ final class QuadLogPipeline(
     val dC = timed("incr.delta") {
       d.localCheckpoint() // small net-delta set; cuts the extraction lineage
     }
+    urlBloom.unpersist() // both oldContrib consumers are materialized now
 
     val factBuckets = timed("incr.factBuckets") {
       dC.select("bucket").distinct().as[Int].collect().toSeq.sorted

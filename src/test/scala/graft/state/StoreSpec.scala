@@ -167,12 +167,17 @@ class SnapshotStoreSpec extends GraftSpec {
     // per-bucket delta files are ~1 KB, so some buckets trip and some
     // don't across fold events); 8 MB = consolidation-only (no bucket
     // ever folds to base at this data size)
+    // tombBroadcastBytes axis: 0 forces the read fold's BLOOM-SPLIT path
+    // (the over-gate fallback that replaces the store-sized shuffle) on
+    // every tombstone-bearing read; default keeps the broadcast path
     val rnd = new scala.util.Random(42)
-    for ((maxD, run, fbb) <- Seq((1, "a", 0L), (2, "b", 2048L), (4, "c", 8L << 20),
-                                 (2, "d", 0L), (1, "e", 8L << 20))) {
+    for ((maxD, run, fbb, tbb) <- Seq(
+           (1, "a", 0L, 64L << 20), (2, "b", 2048L, 0L), (4, "c", 8L << 20, 0L),
+           (2, "d", 0L, 64L << 20), (1, "e", 8L << 20, 0L))) {
       val root = tmpDir(s"storefuzz_$run") + "/t"
       val st = new SnapshotStore(spark, root, numBuckets = 4,
-        deleteKeys = Seq("k"), maxDeltas = maxD, foldBucketBytes = fbb)
+        deleteKeys = Seq("k"), maxDeltas = maxD, foldBucketBytes = fbb,
+        tombBroadcastBytes = tbb)
       def rows(kv: Seq[(String, Int)]) = kv.toDF("k", "v")
         .withColumn("bucket", st.bucketCol(col("k")))
       var model: Map[String, Int] = (1 to 30).map(i => s"k$i" -> i).toMap
