@@ -438,27 +438,37 @@ final class QuadLogPipeline(
     // common no-remap batch there is exactly one consumer, so no
     // materialization is added.
     //
-    // The url restriction itself is a bloom PRE-filter + exact semi join.
-    // Unlike the facts prune, the bloom alone is NOT enough here: a false
-    // positive would let an untouched url's rows into the -1 side of the
-    // signed delta with no +1 partner — a fabricated deletion. So the
-    // exact join stays, but it runs AFTER the codegen'd bloom probe has
-    // dropped the overwhelmingly-untouched store rows inside the scan
-    // itself: whatever strategy the exact semi picks (broadcast when the
-    // url set is small, shuffle when it is not), it moves ~churn rows,
-    // never the store. Without the pre-filter, a churn past the broadcast
-    // estimate silently sort-merge-joined the ENTIRE store scan.
-    val urlBloom = spark.sparkContext.broadcast(
-      graft.functions.BloomProbe.build(
-        touchedUrls.select(xxhash64(col("url"))),
-        touchedUrls.count(), // cached; materialized by affectedBuckets above
-        factsPruneBloomMaxBits))
+    // The url restriction is TWO-TIER, cliff-free in both directions.
+    // Small churn (the common batch): an EXPLICITLY broadcast-hinted exact
+    // semi join — the hint matters, because Spark's own size estimate for
+    // the cached url set crosses the 10 MB auto-broadcast line long before
+    // the broadcast is actually a hazard, and the silent fallback
+    // sort-merge-joined the ENTIRE store scan. Large churn: a bloom
+    // PRE-filter (O(bits) broadcast, one extra small build job — which is
+    // why it is not tier one: at the common batch size the build's fixed
+    // job latency exceeds what it saves) followed by the exact semi,
+    // unhinted — post-prune the store side is ~churn-sized, so whatever
+    // strategy Spark picks moves ~churn rows, never the store. The bloom
+    // alone can never replace this join: a false positive would put an
+    // untouched url's rows on the -1 side of the signed delta with no +1
+    // partner — a fabricated deletion.
+    val nTouched = touchedUrls.count() // cached; materialized by affectedBuckets
+    val urlBloom =
+      if (nTouched <= broadcastKeyLimit || oldInBuckets.columns.isEmpty) None
+      else Some(spark.sparkContext.broadcast(
+        graft.functions.BloomProbe.build(
+          touchedUrls.select(xxhash64(col("url"))), nTouched,
+          factsPruneBloomMaxBits)))
     val oldContrib =
       if (oldInBuckets.columns.isEmpty) newContrib.limit(0)
       else {
-        val touched = oldInBuckets
-          .filter(graft.functions.BloomProbe(urlBloom, xxhash64(col("url"))))
-          .join(touchedUrls.select("url"), Seq("url"), "left_semi")
+        val urls = touchedUrls.select("url")
+        val touched = urlBloom match {
+          case None => oldInBuckets.join(broadcast(urls), Seq("url"), "left_semi")
+          case Some(b) => oldInBuckets
+            .filter(graft.functions.BloomProbe(b, xxhash64(col("url"))))
+            .join(urls, Seq("url"), "left_semi")
+        }
         if (nRemap == 0) touched
         else timed("incr.oldTouched")(touched.localCheckpoint())
       }
@@ -499,7 +509,7 @@ final class QuadLogPipeline(
     val dC = timed("incr.delta") {
       d.localCheckpoint() // small net-delta set; cuts the extraction lineage
     }
-    urlBloom.unpersist() // both oldContrib consumers are materialized now
+    urlBloom.foreach(_.unpersist()) // oldContrib consumers are materialized
 
     val factBuckets = timed("incr.factBuckets") {
       dC.select("bucket").distinct().as[Int].collect().toSeq.sorted
@@ -507,38 +517,55 @@ final class QuadLogPipeline(
     // PRUNE the old-facts side to the changed quads before the transition
     // join: unchanged rows contribute no patch and no new state, and under
     // merge-on-read they are carried forward by the base, untouched. The
-    // prune is a broadcast BLOOM FILTER over the churn's xxhash64 quad
-    // keys, probed by a codegen'd predicate inside the scan's own
-    // whole-stage span — a NARROW pass over the store, no store-sized
-    // exchange anywhere in the batch, and no join at all on this path.
+    // prune is TWO-TIER on the churn's xxhash64 quad keys, and BOTH tiers
+    // are a narrow pass over the store — no store-sized exchange exists at
+    // any churn size:
     //
-    // Why bloom, not a broadcast key-set semi join: the hashed relation
-    // costs ~32 B/key resident, so any byte-sane gate caps it at a few
-    // million keys — and past the gate the fallback SHUFFLES the whole
-    // store scan, a cliff measured at 60s on a 40M-quad store the moment
-    // churn crossed the gate (BENCH.md round 6). The bloom costs 10 BITS
-    // per key (4M churn keys ≈ 5 MB), is capped at 64 MB — 53M keys at
-    // ~1% FPR — and past the cap it saturates GRACEFULLY: FPR rises, the
-    // pruned set widens, nothing shuffles and nothing breaks. A false
-    // positive behaves exactly like the hash collisions this path already
-    // tolerates: the row passes the prune, the transition join finds no
-    // delta partner, marks it d-null, and supportTransitionDelta drops it
-    // from both patches and additions — correctness never depends on the
-    // filter. The pruned result is churn-sized; checkpoint it once so the
-    // transition join (two churn-sized sides) feeds both the patch set
-    // and the delta additions without re-running the scan per sink.
+    //  - small churn (the common batch): exact semi against the EXPLICITLY
+    //    broadcast 8-byte key set. Byte-safe under the gate (~32 B/key
+    //    resident), and cheaper than tier two because it adds no build job.
+    //  - large churn: a broadcast BLOOM FILTER probed by a codegen'd
+    //    predicate inside the scan's whole-stage span — no join at all.
+    //    10 bits/key (4M keys ≈ 5 MB vs ~128 MB hashed), capped at 64 MB =
+    //    53M keys at ~1% FPR; past the cap it saturates GRACEFULLY (FPR
+    //    rises, the pruned set widens, nothing shuffles, nothing breaks).
+    //
+    // The predecessor's single gate fell back to a shuffle semi past its
+    // byte bound — a cliff measured at +60s on a 40M-quad store the moment
+    // churn crossed it (BENCH.md round 6). Bloom false positives (and hash
+    // collisions, both tiers) are harmless by construction: the row passes
+    // the prune, the transition join finds no delta partner, marks it
+    // d-null, and supportTransitionDelta drops it from both patches and
+    // additions — correctness never depends on the filter. The pruned
+    // result is churn-sized; checkpoint it once so the transition join
+    // (two churn-sized sides) feeds both the patch set and the delta
+    // additions without re-running the scan per sink.
     val nDelta = dC.count() // cheap: dC is localCheckpointed
-    val churnBloom = spark.sparkContext.broadcast(
-      graft.functions.BloomProbe.build(
-        dC.select(xxhash64(quadKey: _*)), nDelta, factsPruneBloomMaxBits))
+    val pruneKeys: DataFrame => DataFrame =
+      if (nDelta <= broadcastKeyLimit) {
+        // small churn: exact broadcast semi on the 8-byte hash — cheaper
+        // than a bloom build's extra job at this size, and byte-safe
+        // (~32 B/key resident => <= 32 MB at the gate)
+        val dKeysH = dC.select(xxhash64(quadKey: _*).as("_qh")).distinct()
+        df => df.withColumn("_qh", xxhash64(quadKey: _*))
+          .join(broadcast(dKeysH), Seq("_qh"), "left_semi")
+          .drop("_qh")
+      } else {
+        // large churn: bloom probe inside the scan — O(bits) broadcast,
+        // saturates gracefully, no plan-shape change at any size
+        val churnBloom = spark.sparkContext.broadcast(
+          graft.functions.BloomProbe.build(
+            dC.select(xxhash64(quadKey: _*)), nDelta, factsPruneBloomMaxBits))
+        df => df.filter(
+          graft.functions.BloomProbe(churnBloom, xxhash64(quadKey: _*)))
+      }
     val oldFacts = timed("incr.oldFactsScan") {
-      facts.readBuckets(factBuckets)
-        .getOrElse(dC.limit(0).drop("d").withColumn("support", lit(0L)))
-        .drop("bucket")
-        .filter(graft.functions.BloomProbe(churnBloom, xxhash64(quadKey: _*)))
+      pruneKeys(
+        facts.readBuckets(factBuckets)
+          .getOrElse(dC.limit(0).drop("d").withColumn("support", lit(0L)))
+          .drop("bucket"))
         .localCheckpoint()
     }
-    churnBloom.unpersist() // oldFacts is materialized; free the bits
     val (patches0, newFactRows) = QuadDiff.supportTransitionDelta(
       oldFacts, dC.drop("bucket"))
     val patchesC = patches0.localCheckpoint() // small; read by write + tally
@@ -647,8 +674,18 @@ final class QuadLogPipeline(
     * remap yet) — observable plan-shape evidence for specs/benchmarks. */
   @volatile private[graft] var lastRemapBuckets: Option[Seq[Int]] = None
 
-  /** Facts-prune bloom cap, BYTE-derived like every other bound in the
-    * repo (tombMax 64 MB file-gated, canon 5M rows): 2^29 bits = 64 MB of
+  /** Tier boundary for the churn prunes: up to this many keys the exact
+    * 8-byte-key broadcast semi is both byte-safe (~32 B/key resident =>
+    * <= 32 MB hashed relation) and CHEAPER than a bloom (no extra build
+    * job — measured ~1-2 s of fixed per-batch latency at the driver-bench
+    * shape); above it the bloom path takes over. Crucially this is a
+    * tier boundary between two safe plans, not a gate with a shuffle
+    * fallback — there is no churn size at which the store scan gets
+    * exchanged. */
+  private val broadcastKeyLimit: Long = 1000000L
+
+  /** Bloom-tier cap, BYTE-derived like every other bound in the repo
+    * (tombMax 64 MB file-gated, canon 5M rows): 2^29 bits = 64 MB of
     * broadcast — at ~10 bits/key that is 53M churn keys at ~1% FPR. This
     * is a SATURATION point, not a cliff: a bigger churn just raises the
     * false-positive rate (at 100M keys ≈ 5.4 bits/key the FPR is ~11% —
