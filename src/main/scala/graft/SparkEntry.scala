@@ -25,6 +25,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // (A scale-adaptive `widen` parallelism floor was measured here for the
+  // star-join/diff queries too and REJECTED: their per-row work is cheap
+  // column arithmetic, and the extra round-robin exchange cost more than
+  // the single-threaded narrow prefix it parallelized — 0.78s -> 1.16s on
+  // q_agg_star_join. It pays only where the per-row kernel is heavy; see
+  // Dedup.widen, which is measured 3.5-5x on the pair queries.)
+
   // Portable 60-bit hash recipe (both engines + the typed hot path agree):
   //   Spark Column:  conv(substr(md5(x || '#salt'), 1, 15), 16, 10)::long
   //   DuckDB:        ('0x' || substr(md5(x || '#salt'), 1, 15))::BIGINT
@@ -315,22 +322,28 @@ object SparkEntry {
     // --- dedup: minhash banded-LSH candidate pairs + agreement
     "q_dedup_minhash_pairs" -> ((s, dir) => {
       val sigs = Dedup.portableMinhashSigs(t(s, dir, "documents"), numHashes = 4)
-        .localCheckpoint() // consumed 3x (two band joins + both sig sides)
+        .localCheckpoint() // consumed 4x (both sides of both band joins)
+      // Both signatures are ON the band-join output already (each side is a
+      // projection of `sigs`), so compute `agree` right there and dedup on
+      // (a, b, agree) — `agree` is a pure function of the (a, b) signature
+      // pair, so the distinct cardinality is exactly that of distinct
+      // (a, b). The previous shape deduped bare (a, b) and then re-attached
+      // the signatures with TWO more joins over the ~10M-row candidate
+      // stream (measured at sf0.1: 5.3M + 5.0M band-join rows); carrying
+      // one extra BIGINT through the dedup exchange is far cheaper than
+      // re-joining the pair stream twice.
       val bands = Seq(("h0", "h1"), ("h2", "h3"))
-      val pairs = bands.map { case (x, y) =>
-        val a = sigs.select(col("doc_id").as("a"), col(x).as("bx"), col(y).as("by"))
-        val b = sigs.select(col("doc_id").as("b"), col(x).as("bx"), col(y).as("by"))
-        a.join(b, Seq("bx", "by")).filter(col("a") < col("b")).select("a", "b")
+      bands.map { case (x, y) =>
+        val a = sigs.select(col("doc_id").as("a"), col(x).as("bx"), col(y).as("by"),
+          col("h0").as("a0"), col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"))
+        val b = sigs.select(col("doc_id").as("b"), col(x).as("bx"), col(y).as("by"),
+          col("h0").as("b0"), col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3"))
+        a.join(b, Seq("bx", "by")).filter(col("a") < col("b"))
+          .withColumn("agree",
+            (col("a0") === col("b0")).cast("long") + (col("a1") === col("b1")).cast("long") +
+              (col("a2") === col("b2")).cast("long") + (col("a3") === col("b3")).cast("long"))
+          .select("a", "b", "agree")
       }.reduce(_ unionByName _).distinct()
-      val sa = sigs.select(col("doc_id").as("a"), col("h0").as("a0"), col("h1").as("a1"),
-        col("h2").as("a2"), col("h3").as("a3"))
-      val sb = sigs.select(col("doc_id").as("b"), col("h0").as("b0"), col("h1").as("b1"),
-        col("h2").as("b2"), col("h3").as("b3"))
-      pairs.join(sa, Seq("a")).join(sb, Seq("b"))
-        .withColumn("agree",
-          (col("a0") === col("b0")).cast("long") + (col("a1") === col("b1")).cast("long") +
-            (col("a2") === col("b2")).cast("long") + (col("a3") === col("b3")).cast("long"))
-        .select("a", "b", "agree")
     }),
 
     // --- dedup: 16-bit SimHash (portable hash, typed single-pass bit sums)
@@ -352,11 +365,17 @@ object SparkEntry {
           shiftright(col("simhash"), b * 8).bitwiseAND(255L)): _*)).as(Seq("band", "key")))
       val l = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("simhash").as("fa"))
       val r = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("simhash").as("fb"))
+      // hamming filter BEFORE the distinct: bit_count(fa^fb) needs only the
+      // two fingerprints already present on the join output, the filter
+      // commutes with dedup (it is a pure function of the dedup key), and
+      // it is highly selective — measured at sf0.1 it cuts the dedup
+      // exchange's input from 10.5M candidate rows to 3.75M. `hamming`
+      // is functionally dependent on (a, b), so distinct over
+      // (a, b, hamming) has the exact cardinality of distinct (a, b).
       l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("fa"), col("fb")).distinct()
         .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
         .filter(col("hamming") <= 2)
-        .select("a", "b", "hamming")
+        .select("a", "b", "hamming").distinct()
     }),
 
     // --- dedup: exact n-gram Jaccard with shared-shingle blocking

@@ -35,6 +35,12 @@ object ConnectedComponents {
   /** Salt fan-out for the star joins (hub-key replication factor). */
   val numSalts: Int = 8
 
+  // (A broadcast tier for the star-join min tables was measured here and
+  // REJECTED: at bench scale AQE already coalesces the tiny shuffles, and
+  // the per-round broadcast build latency made rounds slightly SLOWER
+  // (2.08s -> 2.37s q_canon_cc_distributed); at large scale the salted
+  // shuffle join is the certified path. No size regime needed the tier.)
+
   /** edges(src: string, dst: string) -> labels(id: string, component: string)
     * where component = min id in the component (lexicographic). */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,

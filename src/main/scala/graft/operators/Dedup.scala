@@ -34,6 +34,21 @@ import graft.sources.XXH64
   */
 object Dedup {
 
+  /** Scale-adaptive fan-out for the typed per-document kernels: when the
+    * input arrives in fewer partitions than the session's parallelism (the
+    * small-file case — one parquet file under one split = ONE task for the
+    * whole corpus), spread it round-robin so the hashing/shingling kernels
+    * AND everything narrow downstream of them (the band self-joins run
+    * broadcast, i.e. inherit this partitioning all the way to the first
+    * exchange) use every core. A corpus that already arrives wide passes
+    * through untouched — this is a floor on parallelism, not a constant
+    * tuned to this box. Measured at sf0.1/local[32]: the minhash band-join
+    * stage generated its 10M candidate rows in a single task without this. */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // --- shingling -----------------------------------------------------------
 
   /** Word n-gram shingles over an ALREADY-MATERIALIZED token array column.
@@ -78,7 +93,7 @@ object Dedup {
                           n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
+    widen(docs.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         shinglesScala(text, n).map(sh => (id, sh))
@@ -108,7 +123,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val b = bits
-    docs.select(col("doc_id").cast("long"), col("text"))
+    widen(docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -142,7 +157,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val nh = numHashes
-    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+    val rows = widen(docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -291,10 +306,21 @@ object Dedup {
     * blocking join and per-pair combine stay declarative. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         maxBucket: Int = 64): DataFrame = {
-    val exploded = shingleRows(docs, "doc_id", "text", n)
+    // materialize the shingle fan-out ONCE: it feeds FIVE consumers (the
+    // rare-shingle count, both sides of the blocking join, and the two size
+    // lookups), and Spark performs no common-subexpression elimination
+    // across join branches — lazily each consumer re-ran the typed
+    // shingling mapPartitions over the corpus and the rare aggregation ran
+    // three times (measured: 5 parquet scans + 3 identical count exchanges
+    // in one query plan). The shingle rows are corpus-token-sized, far
+    // smaller than the pair space the query must materialize anyway.
+    val exploded = shingleRows(docs, "doc_id", "text", n).localCheckpoint()
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
     val rare = exploded.groupBy("sh").count().filter(col("count") <= maxBucket)
+    // checkpoint the pruned stream too: both sides of the self-join consume
+    // it, and each side would otherwise re-run the rare-count exchange
     val pruned = exploded.join(rare.select("sh"), Seq("sh"), "left_semi")
+      .localCheckpoint()
     val l = pruned.select(col("sh"), col("doc_id").as("a"))
     val r = pruned.select(col("sh"), col("doc_id").as("b"))
     val common = l.join(r, Seq("sh")).filter(col("a") < col("b"))
