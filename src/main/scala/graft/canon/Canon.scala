@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Step timing, printed when GRAFT_TIMING=1 (perf triage aid). */
+  private[canon] def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.get("GRAFT_TIMING").contains("1"))
+      println(f"[graft-timing]   canon.$label%-29s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
+  }
+
   /** Below this many distinct edges, a driver-side union-find beats the
     * distributed rounds (each a shuffle + action) by seconds of fixed
     * latency. Above it, the iterative join path is the only thing that
@@ -46,14 +55,14 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25,
           smallGraphCutoff: Long = driverThreshold): DataFrame = {
     // undirected closure, self-edges dropped
-    val e0 = edges.select(col("src"), col("dst"))
+    val e0 = timed("cc.e0.checkpoint")(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint())
 
     if (smallGraphCutoff > 0 && e0.count() <= smallGraphCutoff)
-      return runOnDriver(spark, e0)
+      return timed("cc.driver")(runOnDriver(spark, e0))
 
     val vertices = e0.select(col("src").as("id")).distinct().localCheckpoint()
 
@@ -218,7 +227,7 @@ object IriCanonicalizer {
   /** df(id) of entity IRIs -> canonical map df(id, canonical). */
   def canonicalMap(spark: SparkSession, iris: DataFrame,
                    jaccardThreshold: Double = 0.6): DataFrame = {
-    val irisC = iris.localCheckpoint()
+    val irisC = ConnectedComponents.timed("iris.checkpoint")(iris.localCheckpoint())
     mapFromEdges(spark, irisC, verifiedPairs(irisC, jaccardThreshold))
   }
 

@@ -90,6 +90,15 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
 
+  /** Step timing, printed when GRAFT_TIMING=1 (perf triage aid). */
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.get("GRAFT_TIMING").contains("1"))
+      println(f"[graft-timing]   store.$label%-29s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
+  }
+
   // --- single-writer lease (guard rail, not a distributed lock) ------------
 
   /** This instance's writer identity for the `_lease` guard. */
@@ -221,9 +230,9 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
   def stageFull(df: DataFrame, id: Long): Unit = {
     claimLease()
     val dataDir = new Path(root, f"snap_$id%014d").toString
-    df.repartition(numBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dataDir)
-    writeTermSidecar(dataDir, dataDir)
+    timed("full.write")(df.repartition(numBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dataDir))
+    timed("full.sidecar")(writeTermSidecar(dataDir, dataDir))
     val base = (0 until numBuckets).map(b => b -> s"$dataDir/bucket=$b").toMap
     writeAtomic(manifestPath(id), manifestText(base, Seq.empty))
     releaseLease()
@@ -233,8 +242,18 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * store size. `additions` must carry the store schema incl. `bucket`;
     * `tombstones` must carry `deleteKeys` + `bucket` and COVER the
     * additions' keys (see class doc). When the chain would exceed
-    * `maxDeltas` the fold runs — bucket-local, see [[foldChain]]. */
-  def stageDelta(additions: DataFrame, tombstones: DataFrame, id: Long): Unit = {
+    * `maxDeltas` the fold runs — bucket-local, see [[foldChain]].
+    *
+    * `tombstonesDistinct = true` asserts the caller's tombstone set is
+    * already distinct per (deleteKeys, bucket) — an aggregation output or
+    * an explicit union-distinct — and skips the defensive dedup exchange
+    * here (measured as a third of the facts merge wall at bench shape:
+    * the distinct re-shuffled a set the caller had just aggregated).
+    * Duplicate tombstone keys with the flag wrongly set would only fold
+    * redundantly (the fold aggregates tombstones by key anyway), never
+    * corrupt, but the default stays defensive. */
+  def stageDelta(additions: DataFrame, tombstones: DataFrame, id: Long,
+                 tombstonesDistinct: Boolean = false): Unit = {
     require(deleteKeys.nonEmpty, s"stageDelta on a COW-only store: $root")
     claimLease()
     val prevId = latest.getOrElse(sys.error("stageDelta on empty store"))
@@ -257,22 +276,22 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     val snapDir = new Path(root, f"snap_$id%014d").toString
     // one exchange keyed by bucket -> ~one file per bucket per delta
     // (additions are O(batch); a fixed fan-out would write tiny files)
-    additions.repartition(numBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/add")
+    timed("delta.add")(additions.repartition(numBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/add"))
     // same bucket-keyed exchange as additions: ~one file per bucket, and
     // a 10^9-key tombstone set never funnels through one task (the
     // earlier repartition(1) was a single-task write — fine for a bench
     // batch, a bottleneck at target scale)
-    tombstones.select((deleteKeys :+ "bucket").map(col): _*)
-      .distinct()
+    val tombRows = tombstones.select((deleteKeys :+ "bucket").map(col): _*)
+    timed("delta.tomb")((if (tombstonesDistinct) tombRows else tombRows.distinct())
       .repartition(numBuckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/tomb")
-    writeTermSidecar(s"$snapDir/add", snapDir)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$snapDir/tomb"))
+    timed("delta.sidecar")(writeTermSidecar(s"$snapDir/add", snapDir))
     val chain = deltas :+ DeltaRef(id, snapDir, None)
     if (chain.size <= maxDeltas)
       writeAtomic(manifestPath(id), manifestText(base, chain))
     else
-      foldChain(base, chain, id)
+      timed("delta.fold")(foldChain(base, chain, id))
     releaseLease()
   }
 

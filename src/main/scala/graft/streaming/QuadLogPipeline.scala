@@ -162,7 +162,8 @@ final class QuadLogPipeline(
     // join over base+chain parquet. One checkpoint costs the same as ONE
     // of those scans and the pipeline already materializes the full
     // extended map (`m`) per batch, so this adds no new asymptotic cost.
-    val old = canon.read().map(_.select("id", "canonical").localCheckpoint())
+    val old = timed("canon.readOld")(
+      canon.read().map(_.select("id", "canonical").localCheckpoint()))
     val (m, changed) = timed("canonicalMap") {
       old match {
         case None =>
@@ -295,19 +296,24 @@ final class QuadLogPipeline(
       PatchWriter.write(spark, patches, s"$root/patches/batch_0", checkpoint, maxq)
     })
     val fIdx = Future(bootstrapGraphIndex(sBack))
-    val (rFiles, rIdx) =
+    // A4: the fingerprint re-check and the metadata count are independent
+    // read-only jobs over inputs the sinks never touch — submit them WITH
+    // the sinks (two more overlapped small jobs) but AWAIT them before the
+    // trailer below, which is the externally visible completion artifact
+    // (dump_nquads.sql:75-78 invalidates before declaring complete). A
+    // torn snapshot still raises while the trailer and lineage are absent;
+    // the store commits above are internal state a re-run overwrites.
+    val fAdded = Future(timed("bootstrap.addedCount")(sBack.count())) // parquet metadata count
+    val fRecheck = Future(timed("bootstrap.recheckFp")(assertSnapshotStable(pages, fp0)))
+    val (rFiles, rIdx, rAdded, rRecheck) =
       (scala.util.Try(Await.result(fFiles, Duration.Inf)),
-        scala.util.Try(Await.result(fIdx, Duration.Inf)))
-    Seq(rFiles, rIdx).collectFirst { case scala.util.Failure(e) => throw e }
+        scala.util.Try(Await.result(fIdx, Duration.Inf)),
+        scala.util.Try(Await.result(fAdded, Duration.Inf)),
+        scala.util.Try(Await.result(fRecheck, Duration.Inf)))
+    Seq(rRecheck, rFiles, rIdx, rAdded)
+      .collectFirst { case scala.util.Failure(e) => throw e }
     val files = rFiles.get
-    val added = timed("bootstrap.addedCount")(sBack.count()) // parquet metadata count
-    // A4: re-check the fingerprint BEFORE any completion artifact exists —
-    // the dump-report trailer is what tells external patch consumers the
-    // dump is done (dump_nquads.sql:75-78 invalidates before declaring
-    // complete), so a torn snapshot must raise while the trailer and
-    // lineage are still absent. The store commits above are internal state
-    // a re-run overwrites; the trailer is the externally visible contract.
-    timed("bootstrap.recheckFp")(assertSnapshotStable(pages, fp0))
+    val added = rAdded.get
     // dump-report trailer file (dump_nquads.sql:58-83 / sample fixture)
     val isoNow = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
@@ -370,7 +376,8 @@ final class QuadLogPipeline(
             additions = canonChanged.withColumn("bucket", canon.bucketCol(col("id"))),
             tombstones = canonChanged.select(col("id"))
               .withColumn("bucket", canon.bucketCol(col("id"))),
-            id = batchId))
+            id = batchId,
+            tombstonesDistinct = true)) // one map row per id by construction
         (rewriteIfNonTrivial(rawNew, cmap), remapped)
       }
     val newContrib = newContrib0.withColumn("bucket", contrib.bucketCol(col("url")))
@@ -424,9 +431,14 @@ final class QuadLogPipeline(
     val touchedUrls = changedUrls
       .union(deletedUrls.toDF("url")).union(remapUrls).distinct()
       .withColumn("bucket", contrib.bucketCol(col("url"))).cache()
-    val affectedBuckets = timed("incr.affectedBuckets") {
-      touchedUrls.select("bucket").distinct().as[Int].collect().toSeq.sorted
+    // ONE action yields both the bucket list and the url count the
+    // two-tier prune gate needs below (these were two separate jobs; the
+    // driver receives <= numBuckets rows either way)
+    val urlBucketCounts = timed("incr.affectedBuckets") {
+      touchedUrls.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .as[(Int, Long)].collect()
     }
+    val affectedBuckets = urlBucketCounts.map(_._1).toSeq.sorted
 
     val oldInBuckets = contrib.readBuckets(affectedBuckets)
       .getOrElse(spark.emptyDataFrame)
@@ -452,7 +464,7 @@ final class QuadLogPipeline(
     // alone can never replace this join: a false positive would put an
     // untouched url's rows on the -1 side of the signed delta with no +1
     // partner — a fabricated deletion.
-    val nTouched = touchedUrls.count() // cached; materialized by affectedBuckets
+    val nTouched = urlBucketCounts.map(_._2).sum // from the affectedBuckets job
     val urlBloom =
       if (nTouched <= broadcastKeyLimit || oldInBuckets.columns.isEmpty) None
       else Some(spark.sparkContext.broadcast(
@@ -511,9 +523,12 @@ final class QuadLogPipeline(
     }
     urlBloom.foreach(_.unpersist()) // oldContrib consumers are materialized
 
-    val factBuckets = timed("incr.factBuckets") {
-      dC.select("bucket").distinct().as[Int].collect().toSeq.sorted
+    // one action for the bucket list AND the churn count the prune-tier
+    // gate reads below (was two jobs over the same checkpointed delta)
+    val deltaBucketCounts = timed("incr.factBuckets") {
+      dC.groupBy("bucket").agg(count(lit(1)).as("n")).as[(Int, Long)].collect()
     }
+    val factBuckets = deltaBucketCounts.map(_._1).toSeq.sorted
     // PRUNE the old-facts side to the changed quads before the transition
     // join: unchanged rows contribute no patch and no new state, and under
     // merge-on-read they are carried forward by the base, untouched. The
@@ -540,7 +555,7 @@ final class QuadLogPipeline(
     // result is churn-sized; checkpoint it once so the transition join
     // (two churn-sized sides) feeds both the patch set and the delta
     // additions without re-running the scan per sink.
-    val nDelta = dC.count() // cheap: dC is localCheckpointed
+    val nDelta = deltaBucketCounts.map(_._2).sum // from the factBuckets job
     val pruneKeys: DataFrame => DataFrame =
       if (nDelta <= broadcastKeyLimit) {
         // small churn: exact broadcast semi on the 8-byte hash — cheaper
@@ -595,13 +610,15 @@ final class QuadLogPipeline(
       facts.stageDelta(
         additions = newFactRows.withColumn("bucket", facts.bucketCol(quadKey: _*)),
         tombstones = dC.select((quadKey :+ col("bucket")): _*),
-        id = batchId)
+        id = batchId,
+        tombstonesDistinct = true) // dC is a per-quad aggregation output
     })
     val fContrib = Future(timed("incr.mergeContrib") {
       contrib.stageDelta(
         additions = newSide.join(deletedUrls.toDF("url"), Seq("url"), "left_anti"),
         tombstones = touchedUrls,
-        id = batchId)
+        id = batchId,
+        tombstonesDistinct = true) // touchedUrls is a union-distinct
     })
     // Await EVERY sink to settle before surfacing any failure: a rethrow
     // while sibling futures still run would let their zombie write jobs
