@@ -258,6 +258,92 @@ object Micro {
       println(s"[micro] remap urls touched: $full (full == pruned)")
       spark.stop(); return
     }
+    if (sys.env.contains("CANON_SCALE")) {
+      // before/after evidence for the bucket/bloom-pruned canon map
+      // (OPTIMIZATION_r07): an accumulated canonical map at N ids in a real
+      // canon store (term-bloom sidecars), a batch referencing ~2k of them.
+      // OLD shape (pre-r7 pipeline): full-map localCheckpoint per batch, a
+      // domain distinct + anti-join for the fresh check, and — the map
+      // being over broadcastRowLimit — a store-sized SHUFFLE join for the
+      // rewrite. NEW shape: extendedCanonMap's sidecar+bloom-pruned view
+      // (batch-sized) and a BROADCAST rewrite. Same rewritten rows, asserted.
+      val n = sys.env("CANON_SCALE").toLong
+      val root = Bench.scratchRoot("micro_canon")
+      val pipe = new graft.streaming.QuadLogPipeline(spark, root, numBuckets = 64)
+      def iriOf(i: org.apache.spark.sql.Column) =
+        concat(lit("http://kg.example.org/entity/"), md5(i.cast("string")))
+      val mapDf = spark.range(0, n).select(
+          iriOf(col("id")).as("id"),
+          // every 100th id is an alias of its predecessor -> the map is
+          // non-trivial and the invariant (canonical ∈ ids) holds
+          when(pmod(col("id"), lit(100)) === 0 && col("id") > 0,
+            iriOf(col("id") - 1)).otherwise(iriOf(col("id"))).as("canonical"))
+        .withColumn("bucket", pipe.canon.bucketCol(col("id")))
+      time(s"canon store commitFull ($n ids + sidecars)") {
+        pipe.canon.commitFull(mapDf, 0L)
+      }
+      // batch: ~2k known iris spread over the id space (s and oLex slots)
+      val batch = spark.range(0, 1000).select(
+          concat(lit("https://h"), pmod(col("id"), lit(7)), lit(".example.org/p/"), col("id")).as("url"),
+          iriOf(pmod(col("id") * 4999, lit(n))).as("s"),
+          lit("http://kg.example.org/rel/r").as("p"),
+          iriOf(pmod(col("id") * 7919 + 3, lit(n))).as("oLex"),
+          lit(0).as("oKind"), lit(null.asInstanceOf[String]).as("oDtype"),
+          lit(null.asInstanceOf[String]).as("oLang"),
+          concat(lit("https://h"), pmod(col("id"), lit(7)), lit(".example.org/")).as("g"))
+        .localCheckpoint()
+      def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          bit_xor(xxhash64(col("url"), col("s"), col("oLex")))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      // --- OLD shape ---
+      val oldRewrite = {
+        var res: (Long, Long) = null
+        val o = time("OLD full-map checkpoint")(
+          pipe.canon.read().get.select("id", "canonical").localCheckpoint())
+        val rows = o.count()
+        time("OLD fresh check (domain distinct + anti)") {
+          val oldIds = o.select(col("id"))
+            .union(o.select(col("canonical").as("id"))).distinct()
+          val iris = batch.select(col("s").as("id"))
+            .union(batch.select(col("oLex").as("id"))).distinct()
+          iris.join(oldIds, Seq("id"), "left_anti").count()
+        }
+        res = time(s"OLD rewrite join (map=$rows > broadcastRowLimit -> shuffle)")(
+          fp(graft.canon.IriCanonicalizer.canonicalizeAttributed(batch, o, rows)))
+        res
+      }
+      // --- NEW shape ---
+      val newRewrite = {
+        val (view, viewRows, _, _) = time("NEW extendedCanonMap (pruned view + fresh check)")(
+          pipe.extendedCanonMap(batch))
+        println(s"[micro] canon view rows: $viewRows of $n (buckets: " +
+          s"${pipe.lastCanonBuckets.map(_.size).getOrElse(-1)}/${pipe.canon.numBuckets})")
+        time("NEW rewrite join (view -> broadcast)")(
+          fp(graft.canon.IriCanonicalizer.canonicalizeAttributed(batch, view, viewRows)))
+      }
+      assert(oldRewrite == newRewrite,
+        s"pruned rewrite diverged: $newRewrite != $oldRewrite")
+      println(s"[micro] canon rewrite rows=${newRewrite._1} (old == new)")
+      spark.stop(); return
+    }
+    if (sys.env.contains("BLOOM_TREE")) {
+      // treeReduce evidence for BloomProbe.build: build time vs partition
+      // count at a fixed key volume (the flat reduce ingested one filter
+      // per partition at the driver; tree depth 2 keeps it ~flat)
+      val keys = sys.env("BLOOM_TREE").toLong
+      for (parts <- Seq(16, 64, 256)) {
+        val ds = spark.range(0, keys, 1, parts).select(xxhash64(col("id")))
+        time(s"bloom build keys=$keys parts=$parts warm") {
+          graft.functions.BloomProbe.build(ds, keys, 1L << 29)
+        }
+        time(s"bloom build keys=$keys parts=$parts") {
+          graft.functions.BloomProbe.build(ds, keys, 1L << 29)
+        }
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("CPU_BURN")) {
       time("cpu burn warm")(spark.range(0, 500000000L).selectExpr("bit_xor(xxhash64(id))").head())
       time("cpu burn 1")(spark.range(0, 40000000000L).selectExpr("bit_xor(xxhash64(id))").head())

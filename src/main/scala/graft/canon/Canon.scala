@@ -264,17 +264,49 @@ object IriCanonicalizer {
       .join(oldIds, Seq("id"), "left_anti")
       .localCheckpoint()
     if (fresh.isEmpty) return (oldMap, oldMap.limit(0)) // domain unchanged
-    val ids = oldIds.union(fresh).distinct().localCheckpoint()
+    val changed = extendChangedGivenFresh(spark, oldMap, fresh, jaccardThreshold)
+      .localCheckpoint()
+    // untouched = rows of clusters no new edge reached = exactly the oldMap
+    // rows whose id is not among the changed ids (changed carries every
+    // member of every touched cluster, including its representative row)
+    val untouched = oldMap
+      .join(changed.select("id"), Seq("id"), "left_anti")
+    (untouched.select("id", "canonical"), changed)
+  }
+
+  /** Changed-rows core of [[extendMapParts]] for a caller that has ALREADY
+    * computed the fresh-id set — the pipeline's bucket/bloom-pruned path,
+    * which checks batch IRIs against a sidecar-pruned store view instead of
+    * re-deriving the full accumulated domain per batch. Valid whenever
+    * `fresh` is exactly (newIris domain-distinct minus the map's domain);
+    * for maps THIS object produced the id column alone is the domain
+    * (STORE-MAP INVARIANT: every canonical value also appears as an id —
+    * mapFromEdges emits a row for every domain id and representatives are
+    * component minima, i.e. ids themselves; CanonicalizerSpec asserts it).
+    *
+    * Returns ONLY the changed rows; the untouched remainder is never
+    * materialized here — per-batch cost terms that scale with the
+    * accumulated map are limited to narrow scans and the signature pass
+    * over the domain (see the checkpoint note below).
+    *
+    * CC LOCALITY: connected components are local to their subgraph, so
+    * only clusters adjacent to a new edge can change — recompute CC over
+    * (new edges ∪ the old links of exactly those clusters) and carry every
+    * untouched cluster's rows forward verbatim. Per-batch CC cost is then
+    * proportional to the touched subgraph, not the accumulated domain. */
+  def extendChangedGivenFresh(spark: SparkSession, oldMap: DataFrame,
+                              fresh: DataFrame,
+                              jaccardThreshold: Double = 0.6): DataFrame = {
+    // domain = map ids ∪ fresh — disjoint unions of already-distinct sets,
+    // so no dedup exchange. Checkpointed because verifiedPairs scans it
+    // three times (shingles, band join right side, verification sides);
+    // this — with the signature compute it feeds — is the one remaining
+    // per-batch term proportional to the accumulated domain (a persisted
+    // band index would remove it; see OPTIMIZATION_r07.md "Not yet").
+    val ids = oldMap.select(col("id")).union(fresh.select(col("id")))
+      .localCheckpoint()
     val newEdges = verifiedPairs(ids, jaccardThreshold, leftIds = Some(fresh))
       .localCheckpoint()
-
-    // CC LOCALITY: connected components are local to their subgraph, so
-    // only clusters adjacent to a new edge can change — recompute CC over
-    // (new edges ∪ the old links of exactly those clusters) and carry every
-    // untouched cluster's rows forward verbatim. Per-batch CC cost is then
-    // proportional to the touched subgraph, not the accumulated domain
-    // (the domain-wide work that remains is plain column joins on the map,
-    // which the rewrite join scans anyway).
     val endpoints = newEdges.select(col("src").as("id"))
       .union(newEdges.select(col("dst").as("id"))).distinct()
     val touchedReps = oldMap
@@ -283,8 +315,6 @@ object IriCanonicalizer {
       .localCheckpoint()
     val touchedOld = oldMap
       .join(touchedReps.withColumnRenamed("rep", "canonical"), Seq("canonical"), "left_semi")
-    val untouched = oldMap
-      .join(touchedReps.withColumnRenamed("rep", "canonical"), Seq("canonical"), "left_anti")
     val touchedIds = touchedOld.select(col("id"))
       .union(touchedOld.select(col("canonical").as("id")))
       .union(fresh.select(col("id")))
@@ -292,7 +322,7 @@ object IriCanonicalizer {
     val edges = newEdges.unionByName(
       touchedOld.filter(col("id") =!= col("canonical"))
         .select(col("id").as("src"), col("canonical").as("dst")))
-    (untouched.select("id", "canonical"), mapFromEdges(spark, touchedIds, edges))
+    mapFromEdges(spark, touchedIds, edges)
   }
 
   /** MinHash-LSH blocked + exact-Jaccard verified coreference candidate

@@ -502,6 +502,19 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     }
   }
 
+  /** Approximate on-disk data bytes of the latest snapshot (base dirs +
+    * delta add dirs) — driver-side fs metadata only, never a Spark job.
+    * 0 for an empty store. Callers use it as a byte-derived gate for
+    * "is this store small enough to materialize per batch". */
+  def approxDataBytes: Long = latest.map { id =>
+    val (base, deltas) = readManifest(id)
+    val dirs = base.values.filter(_.nonEmpty)
+      .map(p => new Path(p).getParent).toSet ++
+      deltas.map(d => new Path(s"${d.dir}/add"))
+    dirs.toSeq.map(p =>
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L).sum
+  }.getOrElse(0L)
+
   /** [[stageDelta]] + pointer flip. */
   def commitDelta(additions: DataFrame, tombstones: DataFrame, id: Long): Unit = {
     stageDelta(additions, tombstones, id)

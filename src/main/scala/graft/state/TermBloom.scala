@@ -67,9 +67,13 @@ object TermBloom {
     * extreme per-bucket cardinalities the cap saturates the filter and
     * pruning degrades toward "all buckets" — graceful, never wrong. */
   def sized(n: Long, maxBits: Long = 1L << 27): TermBloom = {
-    val want = math.max(1L << 10, math.min(maxBits, n * 10))
-    new TermBloom(new Array[Long](((want + 63) / 64).toInt), 7)
+    new TermBloom(new Array[Long](((sizedBits(n, maxBits) + 63) / 64).toInt), 7)
   }
+
+  /** Bit count [[sized]] would allocate — lets callers budget partial
+    * filters (bytes = bits/8) without allocating one. */
+  def sizedBits(n: Long, maxBits: Long = 1L << 27): Long =
+    math.max(1L << 10, math.min(maxBits, n * 10))
 
   private val Magic = 0x47424C31 // "GBL1"
 

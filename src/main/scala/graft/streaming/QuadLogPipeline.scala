@@ -85,9 +85,14 @@ final class QuadLogPipeline(
   // canon is MOR too: the accumulated map is O(all IRIs ever seen) — a
   // full rewrite per batch (the old stageFull) is the same unbounded-write
   // defect the contrib/facts COW had. Delta = the extendMapParts changed
-  // rows; tombstones = their ids.
+  // rows; tombstones = their ids. Per-bucket TermBloom sidecars over `id`
+  // (the store's own bucket key) let a batch plan BUCKET-PRUNED map reads:
+  // the fresh-id check and the rewrite view probe candidateBuckets with
+  // the batch's IRIs instead of reading the accumulated map (see
+  // extendedCanonMap — the map analogue of contrib's remap-scan pruning).
   val canon = new SnapshotStore(spark, s"$root/canon", math.min(numBuckets, 8),
-    deleteKeys = Seq("id"), maxDeltas = maxDeltas)
+    deleteKeys = Seq("id"), maxDeltas = maxDeltas,
+    termExpr = Some(array(col("id"))))
   /** A8 — first-seen graph dimension (split-graphs.sh:99-102's
     * vql_graph_folder.csv): (g, g_b64, firstBatch), insert-if-absent per
     * batch; the publish stage's per-graph fan-out reads it. MERGE-ON-READ
@@ -148,41 +153,113 @@ final class QuadLogPipeline(
       .distinct()
 
   /** Extend the persisted canonical map with this batch's IRIs.
-    * Returns (map, remapped, changed): `changed` = exactly the rows that
-    * differ from the stored map (fresh ids + members of clusters a new
-    * edge touched) — the canon store's merge-on-read delta; `remapped` =
-    * (oldRep -> newRep) pairs for superseded representatives, derived
-    * from `changed` (rep changes are a subset of changed ids), so the
-    * comparison join is churn-sized instead of accumulated-map-sized. */
-  private def extendedCanonMap(rawQuads: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val iris = candidateIris(rawQuads)
-    // materialize the FOLDED canon view once per batch: extendMapParts and
-    // the remap comparison scan it ~6x (domain union, touched/untouched
-    // splits, remap join), and each scan re-ran the merge-on-read fold
-    // join over base+chain parquet. One checkpoint costs the same as ONE
-    // of those scans and the pipeline already materializes the full
-    // extended map (`m`) per batch, so this adds no new asymptotic cost.
-    val old = timed("canon.readOld")(
-      canon.read().map(_.select("id", "canonical").localCheckpoint()))
-    val (m, changed) = timed("canonicalMap") {
-      old match {
-        case None =>
-          val cm = IriCanonicalizer.canonicalMap(spark, iris).localCheckpoint()
-          (cm, cm) // everything is new relative to an empty store
-        case Some(o) =>
-          val (untouched, changed0) = IriCanonicalizer.extendMapParts(spark, o, iris)
-          val c = changed0.localCheckpoint() // churn-sized; reused 3x below
-          (untouched.unionByName(c).localCheckpoint(), c)
-      }
+    *
+    * Returns (view, viewRows, remapped, changed):
+    *  - `view`    = the EXTENDED map restricted to (a superset of) the
+    *    batch's candidate IRIs — everything the batch rewrite can match.
+    *    Churn-sized at ANY accumulated map size, so the rewrite join
+    *    stays a BROADCAST at target scale (the old path handed the full
+    *    map to the rewrite and fell back to a store-sized shuffle join
+    *    the moment the map outgrew broadcastRowLimit — i.e. at billions
+    *    of IRIs, every batch).
+    *  - `changed` = exactly the rows that differ from the stored map
+    *    (fresh ids + members of clusters a new edge touched) — the canon
+    *    store's merge-on-read delta. At bootstrap (empty store) it is the
+    *    whole new map.
+    *  - `remapped` = (oldRep -> newRep) pairs for superseded
+    *    representatives, derived from `changed` (rep changes are a subset
+    *    of changed ids), so the comparison join is churn-sized.
+    *
+    * The stored-map reads are TWO-TIER pruned, mirroring the contrib
+    * remap scan: (1) when the batch's IRI set is driver-collectable, the
+    * canon store's per-bucket TermBloom sidecars prune which buckets are
+    * read at all ([[SnapshotStore.candidateBuckets]]); (2) a broadcast
+    * Bloom filter over the batch IRIs, probed by the codegen'd
+    * BloomProbe predicate INSIDE the scan, prunes rows — the result
+    * (`oldPruned`) is ~batch-sized. Both tiers are conservative
+    * (sidecars never exclude a term's true bucket; the bloom has no
+    * false negatives), so the fresh-id anti-join against `oldPruned` is
+    * EXACT — completeness additionally needs only the store-map
+    * invariant that every canonical value is also an id row, which every
+    * map this pipeline writes satisfies (see extendChangedGivenFresh).
+    * False positives only widen `view`/`oldPruned` by harmless rows that
+    * match nothing in the batch. */
+  private[graft] def extendedCanonMap(rawQuads: DataFrame)
+      : (DataFrame, Long, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val iris = timed("canon.iris")(candidateIris(rawQuads).localCheckpoint())
+    val old = canon.read().map(_.select("id", "canonical"))
+    old match {
+      case None =>
+        val cm = timed("canonicalMap")(
+          IriCanonicalizer.canonicalMap(spark, iris).localCheckpoint())
+        lastCanonBuckets = None
+        (cm, cm.count(), cm.limit(0), cm)
+      case Some(o0) =>
+        // Small stores: checkpoint the folded map once — the domain union,
+        // the touched-cluster splits and the remap join all scan it, and
+        // each lazy scan re-runs the merge-on-read fold. Past the byte
+        // gate the scans go to the store lazily: a per-batch O(map)
+        // materialization is exactly the cost this path exists to shed.
+        val o = if (canon.approxDataBytes <= canonCheckpointBytes)
+          timed("canon.readOld")(o0.localCheckpoint()) else o0
+        val nIris = iris.count()
+        // tier 1 — sidecar bucket pruning (collect gate mirrors the remap
+        // scan's: 100k strings ≈ a few MB on the driver)
+        val oldView: DataFrame =
+          if (nIris <= canonProbeLimit) {
+            canon.candidateBuckets(iris.as[String].collect().toSeq) match {
+              case Some(bs) =>
+                lastCanonBuckets = Some(bs)
+                canon.readBuckets(bs).map(_.select("id", "canonical"))
+                  .getOrElse(o.limit(0))
+              case None => lastCanonBuckets = None; o
+            }
+          } else { lastCanonBuckets = None; o }
+        // tier 2 — bloom row pruning inside the scan (codegen predicate)
+        val irisBloom = spark.sparkContext.broadcast(
+          graft.functions.BloomProbe.build(
+            iris.select(xxhash64(col("id"))), nIris, factsPruneBloomMaxBits))
+        val oldPruned = timed("canon.oldPruned")(
+          oldView.filter(graft.functions.BloomProbe(irisBloom, xxhash64(col("id"))))
+            .localCheckpoint())
+        irisBloom.unpersist()
+        val fresh = iris.join(oldPruned.select("id"), Seq("id"), "left_anti")
+          .localCheckpoint()
+        val changed = timed("canonicalMap")(
+          (if (fresh.isEmpty) o.limit(0)
+           else IriCanonicalizer.extendChangedGivenFresh(spark, o, fresh))
+            .localCheckpoint())
+        // rewrite view: pruned old rows minus the ones `changed` replaces,
+        // plus the changed rows the batch can actually reference
+        val view = timed("canon.view")(
+          oldPruned.join(changed.select("id"), Seq("id"), "left_anti")
+            .unionByName(changed.join(iris, Seq("id"), "left_semi"))
+            .localCheckpoint())
+        val remapped = o
+          .join(changed.withColumnRenamed("canonical", "rep2"), Seq("id"))
+          .filter(col("canonical") =!= col("rep2"))
+          .select(col("canonical").as("id"), col("rep2").as("canonical"))
+          .distinct()
+        (view, view.count(), remapped, changed)
     }
-    val remapped = old.map { o =>
-      o.join(changed.withColumnRenamed("canonical", "rep2"), Seq("id"))
-        .filter(col("canonical") =!= col("rep2"))
-        .select(col("canonical").as("id"), col("rep2").as("canonical"))
-        .distinct()
-    }.getOrElse(m.limit(0))
-    (m, remapped, changed)
   }
+
+  /** Canon-map probe gate (same rationale and size as
+    * [[remapIdProbeLimit]]): above this many batch IRIs the sidecar
+    * bucket-prune skips the driver collect and tier 2 alone prunes. */
+  private val canonProbeLimit: Long = 100000L
+
+  /** Byte gate under which the folded canon map is still materialized once
+    * per batch (several consumers, and at small sizes the checkpoint costs
+    * the same as ONE fold scan). Past it the consumers re-scan the store
+    * lazily — narrow columnar reads — because a per-batch O(map) block-
+    * store materialization is the unbounded cost this path removes. */
+  private val canonCheckpointBytes: Long = 256L << 20
+
+  /** Buckets the last canon-map prune planned (None = full read or empty
+    * store) — observable plan-shape evidence for specs/benchmarks. */
+  @volatile private[graft] var lastCanonBuckets: Option[Seq[Int]] = None
 
   /** Exact per-page contributions: quads tagged with the url that supports
     * them (a quad may appear under many urls; support = distinct urls).
@@ -197,25 +274,25 @@ final class QuadLogPipeline(
     val out =
       if (!canonicalize) quads
       else {
-        val (cmap, _, _) = extendedCanonMap(quads)
-        rewriteIfNonTrivial(quads, cmap)
+        val (view, viewRows, _, _) = extendedCanonMap(quads)
+        rewriteIfNonTrivial(quads, view, viewRows)
       }
     out.withColumn("bucket", contrib.bucketCol(col("url")))
   }
 
-  /** identity map -> skip the rewrite joins AND the per-page re-dedup.
-    * One aggregate yields both the non-trivial check and the row count the
-    * rewrite join needs for its broadcast-vs-shuffle decision (the map
-    * grows monotonically forever — see IriCanonicalizer.broadcastRowLimit;
-    * broadcasting it unconditionally is a guaranteed OOM at target scale). */
-  private def rewriteIfNonTrivial(quads: DataFrame, cmap: DataFrame): DataFrame = {
-    val stats = cmap.agg(count(lit(1)),
-      sum(when(col("id") =!= col("canonical"), 1L).otherwise(0L))).head()
-    val rows = stats.getLong(0)
-    val nonTrivial = rows > 0 && !stats.isNullAt(1) && stats.getLong(1) > 0L
+  /** identity view -> skip the rewrite joins AND the per-page re-dedup.
+    * `view` is the batch-restricted rewrite view from [[extendedCanonMap]]
+    * (checkpointed, churn-sized), so both the triviality check and the
+    * broadcast gate read the PRUNED size — at target scale the full map is
+    * billions of rows (see IriCanonicalizer.broadcastRowLimit) but the
+    * view stays batch-sized and the rewrite stays a broadcast join. */
+  private def rewriteIfNonTrivial(quads: DataFrame, view: DataFrame,
+                                  viewRows: Long): DataFrame = {
+    val nonTrivial = viewRows > 0 &&
+      !view.filter(col("id") =!= col("canonical")).isEmpty
     // every caller feeds extraction output (url-grouped within partitions),
     // so the broadcast path deduplicates with the narrow streaming pass
-    if (nonTrivial) IriCanonicalizer.canonicalizeAttributed(quads, cmap, rows,
+    if (nonTrivial) IriCanonicalizer.canonicalizeAttributed(quads, view, viewRows,
       urlGrouped = true)
     else quads
   }
@@ -263,9 +340,10 @@ final class QuadLogPipeline(
     val contribData =
       if (!canonicalize) raw
       else {
-        val (cmap, _, _) = extendedCanonMap(raw)
-        canon.commitFull(cmap.withColumn("bucket", canon.bucketCol(col("id"))), 0L)
-        rewriteIfNonTrivial(raw, cmap)
+        // empty store: `changed` IS the whole new map (and equals the view)
+        val (view, viewRows, _, changed) = extendedCanonMap(raw)
+        canon.commitFull(changed.withColumn("bucket", canon.bucketCol(col("id"))), 0L)
+        rewriteIfNonTrivial(raw, view, viewRows)
       }
     timed("bootstrap.commitContrib") {
       contrib.commitFull(contribData.withColumn("bucket", contrib.bucketCol(col("url"))), 0L)
@@ -361,7 +439,7 @@ final class QuadLogPipeline(
       if (!canonicalize)
         (rawNew, rawNew.limit(0).select(col("s").as("id"), col("s").as("canonical")))
       else {
-        val (cmap, remapped, canonChanged) = extendedCanonMap(rawNew)
+        val (view, viewRows, remapped, canonChanged) = extendedCanonMap(rawNew)
         // STAGED, not committed: the extended map must move atomically with
         // the facts/contrib stores. A crash after an early canon commit but
         // before the batch marker would make the re-run derive remapPairs
@@ -378,7 +456,7 @@ final class QuadLogPipeline(
               .withColumn("bucket", canon.bucketCol(col("id"))),
             id = batchId,
             tombstonesDistinct = true)) // one map row per id by construction
-        (rewriteIfNonTrivial(rawNew, cmap), remapped)
+        (rewriteIfNonTrivial(rawNew, view, viewRows), remapped)
       }
     val newContrib = newContrib0.withColumn("bucket", contrib.bucketCol(col("url")))
 

@@ -135,6 +135,30 @@ class CanonicalizerSpec extends GraftSpec {
     assert(same == oldMap.as[(String, String)].collect().toMap)
   }
 
+  test("store-map invariant: every canonical value is also an id row") {
+    // extendChangedGivenFresh (the pipeline's pruned path) checks fresh ids
+    // against the map's id column ALONE — valid iff representatives always
+    // appear as id rows. Assert the invariant on maps this object produces,
+    // both fresh and extended across a bridging batch.
+    val d = graft.sources.PageGen.dictionary
+    val iris = d.take(4).map(_.iri) ++ d.take(2).map(e => graft.sources.PageGen.aliasIri(e.iri))
+    val m0 = IriCanonicalizer.canonicalMap(spark, iris.toDF("id"))
+    def assertInvariant(m: org.apache.spark.sql.DataFrame): Unit =
+      assert(m.select(col("canonical").as("id"))
+        .join(m.select("id"), Seq("id"), "left_anti").count() == 0,
+        "canonical value missing from id column")
+    assertInvariant(m0)
+    val m1 = IriCanonicalizer.extendMap(spark, m0,
+      Seq(graft.sources.PageGen.aliasIri(d(2).iri), d(4).iri).toDF("id"))
+    assertInvariant(m1)
+    // and extendMapParts' changed rows routed through extendChangedGivenFresh
+    // reproduce the same extended map as untouched ∪ changed
+    val (u, c) = IriCanonicalizer.extendMapParts(spark, m0,
+      Seq(graft.sources.PageGen.aliasIri(d(2).iri), d(4).iri).toDF("id"))
+    val viaParts = u.unionByName(c).as[(String, String)].collect().toMap
+    assert(viaParts == m1.as[(String, String)].collect().toMap)
+  }
+
   test("canonicalize rewrites subject and IRI-object but not literals") {
     val cmap = Seq(("http://kg.example.org/alt/X", "http://kg.example.org/entity/X"))
       .toDF("id", "canonical")

@@ -204,6 +204,40 @@ class PipelineSpec extends GraftSpec {
     assert(QuadDiff.diff(cur, pipe.extractedQuads(all)).count() == 0)
   }
 
+  test("canon-map reads are bucket-pruned via term-bloom sidecars") {
+    import graft.model.Page
+    val root = tmpDir("graft_canonprune")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 8, canonicalize = true)
+    def page(host: String, id: String, text: String): Page = {
+      val url = s"https://$host.example.org/page/$id"
+      Page(url, new java.sql.Timestamp(1704067200000L),
+        PageGen.htmlFor(url, text, "en"), text, "en")
+    }
+    // bootstrap mentions MANY entities -> the canon store's ids spread
+    // over its buckets (8 entity + class IRIs over 8 buckets)
+    val texts = Seq(
+      "web internet browser page", "amsterdam city canal netherlands",
+      "rembrandt painter art museum", "mercury planet orbit solar",
+      "mercury metal chemical toxic", "spark cluster query shuffle",
+      "tulip flower garden bulb", "erasmus scholar philosophy rotterdam")
+    val p0 = texts.zipWithIndex.map { case (t, i) => page("host1", s"p$i", t) }
+    pipe.bootstrap(spark.createDataset(p0), "e1", "00000000000000")
+
+    // incremental batch touches ONE entity -> its candidate IRI set is two
+    // terms (entity + class), so the canon-map read must plan a PROPER
+    // SUBSET of the store's buckets (sidecar bloom probe), never the full
+    // accumulated map — the map analogue of the remap-scan assertion above
+    val p1 = page("host1", "px", "rembrandt painter art museum")
+    val r1 = pipe.incremental(1L, "20240102000000",
+      spark.createDataset(Seq(p1)), spark.emptyDataset[String])
+    assert(pipe.lastCanonBuckets.exists(bs => bs.nonEmpty && bs.size < pipe.canon.numBuckets),
+      s"canon batch planned an unpruned map read: ${pipe.lastCanonBuckets}")
+
+    // and the state still reconciles with full re-derivation
+    val all = spark.createDataset(p0 :+ p1)
+    assert(QuadDiff.diff(pipe.currentQuads, pipe.extractedQuads(all)).count() == 0)
+  }
+
   test("crash between store finalizes is repaired from the commit marker") {
     val root = tmpDir("graft_crash")
     val pipe = new QuadLogPipeline(spark, root, numBuckets = 4, canonicalize = false)
