@@ -258,6 +258,61 @@ object Micro {
       println(s"[micro] remap urls touched: $full (full == pruned)")
       spark.stop(); return
     }
+    if (sys.env.contains("REMAP_SAT")) {
+      // saturation probe (r6 verdict task #5): the remap scan's adversarial
+      // edges must degrade WITHOUT a cliff. (a) a merge-storm id set that
+      // hits every per-bucket bloom -> candidateBuckets ≈ all buckets, so
+      // the "pruned" scan must cost ≈ the full scan (same plan family,
+      // never worse); (b) an id set past remapIdProbeLimit skips the probe
+      // and reads the full store outright. The happy path (8 ids) stays
+      // bucket-pruned and fast. Same store shape as REMAP_SCALE.
+      val rows = sys.env("REMAP_SAT").toLong
+      val nb = 64
+      val root = Bench.scratchRoot("micro_remapsat")
+      val st = new graft.state.SnapshotStore(spark, root + "/contrib", nb,
+        deleteKeys = Seq("url"),
+        termExpr = Some(array(col("s"), when(col("oKind") === 0, col("oLex")))))
+      val df = spark.range(0, rows).select(
+          concat(lit("https://host"), pmod((col("id") / lit(30)).cast("long"), lit(9973)),
+            lit(".example.org/page/"), (col("id") / lit(30)).cast("long")).as("url"),
+          concat(lit("http://kg.example.org/entity/"),
+            md5((col("id") / lit(20)).cast("long").cast("string"))).as("s"),
+          concat(lit("http://kg.example.org/rel/"), pmod(col("id"), lit(40))).as("p"),
+          concat(lit("http://kg.example.org/entity/"),
+            md5(concat((col("id") / lit(35)).cast("long").cast("string"), lit("o")))).as("oLex"),
+          lit(0).as("oKind"))
+        .withColumn("bucket", st.bucketCol(col("url")))
+      time(s"store commitFull ($rows rows, $nb buckets)")(st.commitFull(df, 0L))
+      def semiCount(stored: org.apache.spark.sql.DataFrame, ids: Seq[String]): Long = {
+        val idsDf = ids.toDF("id")
+        val byS = stored.join(idsDf.withColumnRenamed("id", "s"), Seq("s"), "left_semi")
+          .select("url")
+        val byO = stored.filter(col("oKind") === 0)
+          .join(idsDf.withColumnRenamed("id", "oLex"), Seq("oLex"), "left_semi")
+          .select("url")
+        byS.union(byO).distinct().count()
+      }
+      val small = st.read().get.select(col("s")).limit(8).as[String].collect().toSeq
+      // a merge-storm id set: ~120k DISTINCT stored subjects (over the 100k
+      // collect gate if used as remap ids; here used to saturate the probe)
+      val storm = st.read().get.select(col("s")).distinct().limit(120000)
+        .as[String].collect().toSeq
+      semiCount(st.read().get, small) // warmup
+      val full = time("full-scan fallback (the >gate path)")(
+        semiCount(st.read().get, storm))
+      val candS = time("candidateBuckets probe (8 ids)")(st.candidateBuckets(small).get)
+      println(s"[micro] pruned buckets (8 ids): ${candS.size}/$nb")
+      val prunedSmall = time("pruned scan (8 ids)")(
+        st.readBuckets(candS).map(semiCount(_, small)).getOrElse(0L))
+      val candB = time(s"candidateBuckets probe (${storm.size} ids)")(
+        st.candidateBuckets(storm).get)
+      println(s"[micro] saturated buckets (${storm.size} ids): ${candB.size}/$nb")
+      val prunedStorm = time("saturated 'pruned' scan (== full, no cliff)")(
+        st.readBuckets(candB).map(semiCount(_, storm)).getOrElse(0L))
+      assert(prunedStorm == full, s"saturated scan lost rows: $prunedStorm != $full")
+      println(s"[micro] storm urls=$full smallPruned=$prunedSmall (results exact)")
+      spark.stop(); return
+    }
     if (sys.env.contains("CANON_SCALE")) {
       // before/after evidence for the bucket/bloom-pruned canon map
       // (OPTIMIZATION_r07): an accumulated canonical map at N ids in a real

@@ -157,6 +157,12 @@ object SparkEntry {
     // --- A5: cross-run running totals (generate-rdfpatch.sh:345-346)
     "q_a5_running_totals" -> ((s, dir) => {
       val per = t(s, dir, "documents").groupBy("source").agg(count(lit(1)).as("n"))
+      // Unpartitioned Window.orderBy (Spark warns it funnels one partition)
+      // is DELIBERATE and safe here ONLY because the frame is the
+      // pre-aggregated per-source totals — ~20 rows, the exact analogue of
+      // the reference's O(1) counts files. Do not copy this pattern onto
+      // row-scale input; a corpus-sized running total needs a partitioned
+      // window or a two-level prefix sum.
       per.withColumn("running_total",
         sum("n").over(Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)))
     }),

@@ -411,10 +411,43 @@ object IriCanonicalizer {
     else rewritten.dropDuplicates("url", "s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
   }
 
+  /** Minimal open-addressing set of longs (no boxing, ~10 B/entry): the
+    * url-run guard's ended-run memory. Zero keys are tracked via a flag. */
+  private final class LongSet {
+    private var cap = 1 << 10
+    private var keys = new Array[Long](cap)
+    private var n = 0
+    private var hasZero = false
+    private def idx(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * 0x9E3779B97F4A7C15L)) & (cap - 1)
+      while (keys(i) != 0L && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def contains(k: Long): Boolean =
+      if (k == 0L) hasZero else keys(idx(k)) == k
+    def add(k: Long): Unit =
+      if (k == 0L) hasZero = true
+      else {
+        val i = idx(k)
+        if (keys(i) != k) {
+          keys(i) = k; n += 1
+          if (n * 2 > cap) { // grow at 50% load
+            val old = keys
+            cap <<= 1; keys = new Array[Long](cap); n = 0
+            old.foreach(v => if (v != 0L) { keys(idx(v)) = v; n += 1 })
+          }
+        }
+      }
+  }
+
   /** Narrow per-url-run dedup (see [[canonicalizeAttributed]]): keeps the
     * first occurrence of each quad within a consecutive run of rows
     * sharing a url. Memory = one PAGE's quad keys for the dedup set, plus
-    * one url string per ENDED run for the contract guard.
+    * EIGHT BYTES per ended run for the contract guard — the guard keeps
+    * xxhash64(url) in a primitive open-addressing set, not the url string
+    * (at bootstrap scale the string set silently regressed this path's
+    * bound to hundreds of MB of retained urls per task). A hash collision
+    * can only produce a spurious LOUD error, never silent corruption.
     *
     * The contract (each url's rows consecutive within one partition) is
     * ENFORCED, not assumed: a url reappearing after its run ended — a
@@ -429,12 +462,12 @@ object IriCanonicalizer {
     df.mapPartitions { it =>
       var curUrl: String = null
       val seen = new java.util.HashSet[String]()
-      val ended = new java.util.HashSet[String]()
+      val ended = new LongSet
       it.filter { r =>
         val url = r.getString(0)
         if (url != curUrl) {
-          if (curUrl != null) ended.add(curUrl)
-          if (ended.contains(url))
+          if (curUrl != null) ended.add(graft.sources.XXH64.hashString(curUrl, 7L))
+          if (ended.contains(graft.sources.XXH64.hashString(url, 7L)))
             sys.error(s"url-run contract violated: '$url' reappears after its " +
               "run ended (exchange in the rewrite plan, or a batch with " +
               "duplicate urls) — this path requires url-grouped input; the " +

@@ -123,28 +123,79 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
   /** Claim the writer lease for a mutating data operation. The store
     * assumes a SINGLE writer (vacuum, fold and manifest writes are not
     * concurrency-safe); this makes a second concurrent writer FAIL LOUDLY
-    * instead of silently corrupting manifests. Best-effort by design — the
-    * check-then-write window is not atomic across writers — but any sanely
-    * scheduled second writer hits the error, which is the guard's job.
+    * instead of silently corrupting manifests. The claim itself is ATOMIC:
+    * `fs.create(path, overwrite=false)` lets the filesystem arbitrate
+    * racing claimants (exactly one create succeeds on HDFS-like and local
+    * filesystems) — the previous check-then-write had a window where two
+    * sanely-interleaved writers could both conclude the lease was free.
     * A lease left by a crashed writer expires after [[leaseTimeoutMs]]
     * (or [[breakLease]] forces it). Re-claiming one's own lease always
     * succeeds, so a retry after a failed stage is never blocked. */
-  private def claimLease(): Unit = {
-    readLease.foreach { holder =>
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(leasePath).getModificationTime
-      if (holder != writerId && age < leaseTimeoutMs)
-        sys.error(s"concurrent writer on $root: lease held by $holder " +
-          s"(age ${age / 1000}s < ${leaseTimeoutMs / 1000}s). A second " +
-          "writer would corrupt manifests; if the holder crashed, wait out " +
-          "the lease or call breakLease() after verifying it is dead.")
+  /** Atomic create-exclusive of the lease file. On `file:` schemes Hadoop's
+    * `create(path, overwrite=false)` is itself check-then-act (racing
+    * creators can all pass the exists probe — the StoreSpec race test
+    * catches exactly this), so the local path goes through the OS-level
+    * O_CREAT|O_EXCL via `Files.createFile`; HDFS-like schemes keep
+    * `fs.create`, whose namenode arbitration is atomic. The writerId body
+    * lands right after the claim — a reader in that window sees an empty
+    * holder, which is treated as a foreign in-progress claim (safe). */
+  private def atomicCreateLease(): Boolean = {
+    if ("file".equalsIgnoreCase(Option(fs.getUri.getScheme).getOrElse("file"))) {
+      try {
+        val p = java.nio.file.Paths.get(leasePath.toUri.getPath)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.createFile(p) // O_CREAT|O_EXCL
+        java.nio.file.Files.write(p, writerId.getBytes(StandardCharsets.UTF_8))
+        true
+      } catch { case _: java.io.IOException => false } // incl. FileAlreadyExists
+    } else {
+      try {
+        val out = fs.create(leasePath, false) // atomic on HDFS-like schemes
+        try out.write(writerId.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
     }
-    writeAtomic(leasePath, writerId)
+  }
+
+  private[state] def claimLease(): Unit = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (atomicCreateLease()) return
+      // lease file exists (or a transient FS failure): inspect the holder
+      readLease match {
+        case Some(holder) if holder == writerId => return // ours (retry path)
+        case Some(holder) =>
+          val age = try {
+            System.currentTimeMillis() - fs.getFileStatus(leasePath).getModificationTime
+          } catch { case _: java.io.IOException => Long.MaxValue } // vanished: retry
+          if (age < leaseTimeoutMs)
+            sys.error(s"concurrent writer on $root: lease held by $holder " +
+              s"(age ${age / 1000}s < ${leaseTimeoutMs / 1000}s). A second " +
+              "writer would corrupt manifests; if the holder crashed, wait out " +
+              "the lease or call breakLease() after verifying it is dead.")
+          // stale: presumed crashed — remove and retry the ATOMIC claim (a
+          // racing taker also deleting is fine; create arbitrates the winner)
+          fs.delete(leasePath, false)
+        case None => // disappeared between create and read — retry the claim
+      }
+      if (attempts > 5) sys.error(s"lease-claim livelock on $root (attempts=$attempts)")
+    }
   }
 
   /** Release the lease if this writer holds it (stage completion). */
-  private def releaseLease(): Unit =
+  private[state] def releaseLease(): Unit =
     if (readLease.contains(writerId)) fs.delete(leasePath, false)
+
+  /** Run `body` under the writer lease, releasing it even when a Spark job
+    * inside fails — a thrown stage previously left `_lease` behind, and a
+    * RESTARTED driver (fresh writerId) was locked out for up to
+    * [[leaseTimeoutMs]] by its own predecessor's abandoned lease. */
+  private def withLease[T](body: => T): T = {
+    claimLease()
+    try body finally releaseLease()
+  }
 
   /** Operator override: force-remove the lease of a verified-dead writer. */
   def breakLease(): Unit = if (fs.exists(leasePath)) fs.delete(leasePath, false)
@@ -193,11 +244,16 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       val Array(b, p) = l.split("\t", 2); b.toInt -> p
     }.toMap
     val deltas = lines.filter(_.startsWith("D\t")).map { l =>
-      l.split("\t") match {
+      // split with -1: String.split's default drops TRAILING empty fields,
+      // so a 4-field delta line with an empty scope would silently parse
+      // as the 3-field shape (see the write-side require in manifestText)
+      l.split("\t", -1) match {
         case Array(_, t) =>
           val tag = t.trim.toLong
           DeltaRef(tag, s"$root/${f"snap_$tag%014d"}", None)
         case Array(_, t, dir, scope) =>
+          if (scope.trim.isEmpty)
+            sys.error(s"bad manifest delta line (empty scope): $l")
           DeltaRef(t.trim.toLong, dir,
             if (scope.trim == "*") None
             else Some(scope.split(",").iterator.map(_.trim).filter(_.nonEmpty)
@@ -210,8 +266,13 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
 
   private def manifestText(base: Map[Int, String], deltas: Seq[DeltaRef]): String =
     ((0 until numBuckets).map(b => s"$b\t${base.getOrElse(b, "")}") ++
-      deltas.map(d => s"D\t${d.tag}\t${d.dir}\t" +
-        d.scope.fold("*")(_.toSeq.sorted.mkString(",")))).mkString("\n")
+      deltas.map { d =>
+        // a Some(empty) scope would serialize as a trailing empty field —
+        // unparseable (and semantically a no-op delta no caller produces)
+        require(d.scope.forall(_.nonEmpty),
+          s"delta ref with empty scope set: tag=${d.tag} dir=${d.dir}")
+        s"D\t${d.tag}\t${d.dir}\t" + d.scope.fold("*")(_.toSeq.sorted.mkString(","))
+      }).mkString("\n")
 
   // --- commits -------------------------------------------------------------
 
@@ -227,15 +288,13 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * that writes several stores atomically stages each, writes its own
     * commit marker, then [[finalizeCommit]]s all of them; a crash in
     * between is repaired by replaying the finalize (metadata-only). */
-  def stageFull(df: DataFrame, id: Long): Unit = {
-    claimLease()
+  def stageFull(df: DataFrame, id: Long): Unit = withLease {
     val dataDir = new Path(root, f"snap_$id%014d").toString
     timed("full.write")(df.repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dataDir))
     timed("full.sidecar")(writeTermSidecar(dataDir, dataDir))
     val base = (0 until numBuckets).map(b => b -> s"$dataDir/bucket=$b").toMap
     writeAtomic(manifestPath(id), manifestText(base, Seq.empty))
-    releaseLease()
   }
 
   /** Stage a MERGE-ON-READ delta commit: O(batch) writes regardless of
@@ -253,9 +312,8 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * redundantly (the fold aggregates tombstones by key anyway), never
     * corrupt, but the default stays defensive. */
   def stageDelta(additions: DataFrame, tombstones: DataFrame, id: Long,
-                 tombstonesDistinct: Boolean = false): Unit = {
+                 tombstonesDistinct: Boolean = false): Unit = withLease {
     require(deleteKeys.nonEmpty, s"stageDelta on a COW-only store: $root")
-    claimLease()
     val prevId = latest.getOrElse(sys.error("stageDelta on empty store"))
     val (base, deltas) = readManifest(prevId)
     // A no-op batch must not grow the chain: maxDeltas empty deltas would
@@ -270,8 +328,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       require(additions.isEmpty,
         s"stageDelta contract violated: additions without covering tombstones: $root")
       writeAtomic(manifestPath(id), manifestText(base, deltas))
-      releaseLease()
-      return
+      return // withLease's finally releases
     }
     val snapDir = new Path(root, f"snap_$id%014d").toString
     // one exchange keyed by bucket -> ~one file per bucket per delta
@@ -292,7 +349,6 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       writeAtomic(manifestPath(id), manifestText(base, chain))
     else
       timed("delta.fold")(foldChain(base, chain, id))
-    releaseLease()
   }
 
   /** Cap on distinct snap dirs the base may fragment across: each distinct
@@ -544,8 +600,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * COW path: requires an empty delta chain (a bucket rewrite would
     * silently orphan chained deltas of other buckets) — delta-committing
     * callers use [[stageDelta]], whose fold restores chain-free state. */
-  def stageMerge(newBucketData: DataFrame, affected: Seq[Int], id: Long): Unit = {
-    claimLease()
+  def stageMerge(newBucketData: DataFrame, affected: Seq[Int], id: Long): Unit = withLease {
     val prevId = latest.getOrElse(sys.error("mergeBuckets on empty store"))
     val (prev, chain) = readManifest(prevId)
     require(chain.isEmpty,
@@ -576,7 +631,6 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       s"$b\t$path"
     }.mkString("\n")
     writeAtomic(manifestPath(id), entries)
-    releaseLease()
   }
 
   // --- reads ---------------------------------------------------------------
@@ -720,8 +774,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * than latest are never touched, so a staged-not-yet-final commit is
     * safe). Crash mid-vacuum leaves garbage, never damage — only
     * unreferenced dirs are deleted. */
-  def vacuum(): Unit = latest.foreach { id =>
-    claimLease()
+  def vacuum(): Unit = latest.foreach { id => withLease {
     val (base, deltas) = readManifest(id)
     val live: Set[String] =
       base.values.filter(_.nonEmpty).map(p => new Path(p).getParent.getName).toSet ++
@@ -743,8 +796,7 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       .filter(p => p.getName.startsWith("manifest_") &&
         numOf(p.getName, "manifest_", ".txt") < id)
       .foreach(p => fs.delete(p, false))
-    releaseLease()
-  }
+  } }
 
   /** Epoch handshake (reference vql_started_at.txt, T6 cascading reset). */
   def epoch: Option[String] = {

@@ -78,9 +78,14 @@ object TermBloom {
   private val Magic = 0x47424C31 // "GBL1"
 
   /** Write a bucket->bloom map as one sidecar file (name must start with
-    * `_` so Spark's parquet listings ignore it). */
+    * `_` so Spark's parquet listings ignore it). Temp-file + rename, like
+    * every other metadata write in the store: a crash mid-write must leave
+    * either the previous sidecar or none — a truncated file would decode
+    * as garbage (see the bounds checks in [[read]], the second line of
+    * defense). */
   def write(fs: FileSystem, path: Path, blooms: Map[Int, TermBloom]): Unit = {
-    val out = new java.io.DataOutputStream(fs.create(path, true))
+    val tmp = new Path(path.getParent, path.getName + ".tmp" + System.nanoTime())
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
     try {
       out.writeInt(Magic)
       out.writeInt(blooms.size)
@@ -91,24 +96,40 @@ object TermBloom {
         bl.bits.foreach(out.writeLong)
       }
     } finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path)) sys.error(s"sidecar rename failed: $tmp -> $path")
   }
 
-  /** Read a sidecar; None when absent or unreadable (callers must treat
-    * None as "no summary" and fall back to conservative inclusion). */
+  /** Widest sidecar entry the reader will allocate for: 2^27 bits / 64 =
+    * 2M words per bucket (the [[sized]] default cap), with headroom for a
+    * raised cap. A corrupt length field past this decodes as None instead
+    * of a multi-GB allocation. */
+  private val MaxWords = (1L << 29).toInt / 64
+  private val MaxEntries = 1 << 20
+
+  /** Read a sidecar; None when absent or unreadable/corrupt (callers must
+    * treat None as "no summary" and fall back to conservative inclusion).
+    * Every length field is bounds-checked BEFORE allocation and non-IO
+    * decode failures (a truncated or bit-flipped file can produce negative
+    * or absurd counts) also degrade to None — the documented fallback,
+    * never a crash in candidateBuckets. */
   def read(fs: FileSystem, path: Path): Option[Map[Int, TermBloom]] = {
     if (!fs.exists(path)) return None
     val in = new java.io.DataInputStream(fs.open(path))
     try {
       if (in.readInt() != Magic) return None
       val n = in.readInt()
+      if (n < 0 || n > MaxEntries) return None
       Some((0 until n).map { _ =>
         val b = in.readInt()
         val k = in.readInt()
         val words = in.readInt()
+        if (k <= 0 || k > 64 || words <= 0 || words > MaxWords)
+          sys.error(s"sidecar entry out of bounds: k=$k words=$words")
         val bits = Array.fill(words)(in.readLong())
         b -> new TermBloom(bits, k)
       }.toMap)
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
     finally in.close()
   }
 }

@@ -544,7 +544,7 @@ final class QuadLogPipeline(
     // partner — a fabricated deletion.
     val nTouched = urlBucketCounts.map(_._2).sum // from the affectedBuckets job
     val urlBloom =
-      if (nTouched <= broadcastKeyLimit || oldInBuckets.columns.isEmpty) None
+      if (nTouched <= urlBroadcastKeyLimit || oldInBuckets.columns.isEmpty) None
       else Some(spark.sparkContext.broadcast(
         graft.functions.BloomProbe.build(
           touchedUrls.select(xxhash64(col("url"))), nTouched,
@@ -779,6 +779,15 @@ final class QuadLogPipeline(
     * exchanged. */
   private val broadcastKeyLimit: Long = 1000000L
 
+  /** Separate, lower tier boundary for the url-STRING keyed prune: the
+    * 1M-key gate's "~32 B/key resident" sizing only holds for the 8-byte
+    * hash tier — a url string is ~100-200 B plus hashed-relation overhead,
+    * so 1M urls hinted into a broadcast is a few hundred MB forced past
+    * Spark's own estimator. 200k urls ≈ 200k x ~250 B ≈ 50 MB resident —
+    * byte-safe; above it the bloom pre-filter tier takes over (same
+    * cliff-free two-tier shape, just a boundary matched to the key WIDTH). */
+  private val urlBroadcastKeyLimit: Long = 200000L
+
   /** Bloom-tier cap, BYTE-derived like every other bound in the repo
     * (tombMax 64 MB file-gated, canon 5M rows): 2^29 bits = 64 MB of
     * broadcast — at ~10 bits/key that is 53M churn keys at ~1% FPR. This
@@ -816,10 +825,14 @@ final class QuadLogPipeline(
 
   /** Replay pointer flips for a batch whose marker was written but whose
     * stores were not all finalized (crash between the flips). Canon is part
-    * of the protocol: it stages with the batch and flips with it. */
+    * of the protocol: it stages with the batch and flips with it. The
+    * marker proves single-writer ownership of the root, so any `_lease`
+    * the crashed predecessor abandoned on a store being replayed is broken
+    * here — a restarted driver (fresh writerId) must not be locked out of
+    * its own store for the lease timeout. */
   def recoverPartialCommit(): Unit = commitMarker.foreach { m =>
     Seq(canon, facts, contrib).foreach { s =>
-      if (s.isStagedNotFinal(m)) s.finalizeCommit(m)
+      if (s.isStagedNotFinal(m)) { s.breakLease(); s.finalizeCommit(m) }
     }
   }
 

@@ -139,6 +139,55 @@ class SnapshotStoreSpec extends GraftSpec {
     assert(pruned.select("bucket").distinct().as[Int].collect().toSet.subsetOf(Set(0, 3, 7)))
   }
 
+  test("lease claim is atomic: racing claimants get exactly one winner") {
+    val root = tmpDir("store_lease")
+    val stores = (0 until 8).map(_ => new SnapshotStore(spark, root, numBuckets = 2))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(stores.size)
+    val results = stores.map { s =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          start.await()
+          try { s.claimLease(); true } catch { case _: RuntimeException => false }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown(); assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    val winners = results.count(_.get())
+    assert(winners == 1, s"$winners racing claims succeeded (want exactly 1)")
+    // winner can re-claim (retry path) and release; a new writer then claims
+    val w = stores(results.indexWhere(_.get()))
+    w.claimLease(); w.releaseLease()
+    val next = new SnapshotStore(spark, root, numBuckets = 2)
+    next.claimLease(); next.releaseLease()
+  }
+
+  test("a failed stage releases the lease (try/finally), store intact") {
+    val root = tmpDir("store_leaserel") + "/t"
+    val st = new SnapshotStore(spark, root, numBuckets = 2,
+      deleteKeys = Seq("k"))
+    val base = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+      .withColumn("bucket", st.bucketCol(col("k")))
+    st.commitFull(base, 0L)
+    // additions whose evaluation THROWS mid-stage: previously the thrown
+    // Spark job left `_lease` behind and a restarted writer (fresh
+    // writerId) was locked out for the lease timeout
+    val bad = Seq(("c", 3)).toDF("k", "v").as[(String, Int)]
+      .map { _ => sys.error("injected stage failure"): (String, Int) }
+      .toDF("k", "v")
+      .withColumn("bucket", st.bucketCol(col("k")))
+    intercept[Exception] {
+      st.stageDelta(bad, bad.select("k", "bucket"), 1L)
+    }
+    // a DIFFERENT writer instance must be able to mutate immediately
+    val st2 = new SnapshotStore(spark, root, numBuckets = 2, deleteKeys = Seq("k"))
+    val add = Seq(("c", 3)).toDF("k", "v").withColumn("bucket", st2.bucketCol(col("k")))
+    st2.commitDelta(add, add.select("k", "bucket"), 2L)
+    assert(st2.read().get.count() == 3)
+  }
+
   test("stageDelta refuses on a COW-only store; stageMerge refuses over a live chain") {
     val root = tmpDir("store6")
     val cow = new SnapshotStore(spark, root + "/cow", numBuckets = 2)
