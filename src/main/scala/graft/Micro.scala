@@ -258,6 +258,50 @@ object Micro {
       println(s"[micro] remap urls touched: $full (full == pruned)")
       spark.stop(); return
     }
+    if (sys.env.contains("PUBLISH_SCALE")) {
+      // consumer-facing ResourceSync tail at many-zip scale (r6 verdict
+      // stretch #8): G graphs x F patch files, filesPerZip=2 -> G*F/2 zips.
+      // What must stay bounded on the driver: the zip-build collect (one
+      // summary ROW per zip — the manifest bodies, O(members) each, are
+      // written executor-side by the distributed sidecar pass) and the
+      // per-graph metadata maps (O(graphs)). GRAFT_TIMING prints the
+      // publish-internal phase split (inventory/zipBuild/zipSidecars/
+      // graphMetadata/sweep).
+      val graphs = sys.env("PUBLISH_SCALE").toInt
+      val filesPerGraph = 10
+      val root = Bench.scratchRoot("micro_pub")
+      val patchDir = s"$root/patches"
+      import org.apache.spark.sql.functions.col
+      // synth patch files, executor-side (distributed file creation)
+      val hconf2 = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      time(s"synth $graphs graphs x $filesPerGraph files") {
+        spark.range(0, graphs.toLong * filesPerGraph, 1, 64).foreachPartition {
+          (it: Iterator[java.lang.Long]) =>
+          val fs = new org.apache.hadoop.fs.Path(patchDir)
+            .getFileSystem(hconf2.value)
+          it.foreach { i =>
+            val g = i / filesPerGraph; val k = i % filesPerGraph
+            val gb64 = java.util.Base64.getEncoder.encodeToString(
+              s"https://g$g.example.org/".getBytes("UTF-8"))
+            val p = new org.apache.hadoop.fs.Path(
+              s"$patchDir/g_b64=$gb64/rdf_out_00000000000000-$k%014d")
+            val out = fs.create(p, true)
+            try out.write(
+              (s"+ <http://kg.example.org/e$i> <http://kg.example.org/p> " +
+                s"<http://kg.example.org/o$k> <https://g$g.example.org/> .\n")
+                .getBytes("UTF-8"))
+            finally out.close()
+          }
+        }
+      }
+      val infos = time(s"publish (expect ~${graphs * filesPerGraph / 2} zips)") {
+        graft.publish.ZipPublisher.publish(spark, patchDir, s"$root/sink", filesPerZip = 2)
+      }
+      println(s"[micro] publish zips=${infos.size} " +
+        s"(driver rows = 1/zip, manifests executor-side)")
+      spark.stop(); return
+    }
     if (sys.env.contains("REMAP_SAT")) {
       // saturation probe (r6 verdict task #5): the remap scan's adversarial
       // edges must degrade WITHOUT a cliff. (a) a merge-storm id set that

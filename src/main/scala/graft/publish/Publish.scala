@@ -423,8 +423,13 @@ object ZipPublisher {
             while (n >= 0) { if (n > 0) md.update(rbuf, 0, n); n = zin.read(rbuf) }
           } finally zin.close()
           val md5hex = md.digest().map("%02x".format(_)).mkString
+          // ONE summary line per zip returns — NOT the manifest body: the
+          // manifest is O(zip members), so collecting it made the zip-build
+          // collect O(total member rows) on the driver (~150 B/member —
+          // multi-GB driver ingress at a 50k-zip publish). Sidecar XMLs are
+          // written distributed in a second pass below.
           (g, name, complete, members.size.toLong, st.getLen, md5hex,
-            members.map(_._4).max, manifest)
+            members.map(_._4).max)
         }
       }
 
@@ -437,7 +442,7 @@ object ZipPublisher {
     val built = try {
       val rows = timed("zipBuild")(buildJob.collect())
       if (rows.isEmpty) return Seq.empty
-      onBuiltForTests(rows.map { case (g, name, complete, n, len, md5v, lastmod, _) =>
+      onBuiltForTests(rows.map { case (g, name, complete, n, len, md5v, lastmod) =>
         ZipInfo(g, name, complete, n, len, md5v, lastmod) }.toSeq)
       // published-state bookkeeping: complete-zip members, written
       // distributed; compacted-append layout bounds the state's file count
@@ -457,33 +462,65 @@ object ZipPublisher {
     // (orphan recovery in the dump-xml regeneration)
     onPublishedForTests()
 
-    // sidecar XMLs (per zip) are written inside the per-graph PARALLEL
-    // metadata pass below — as a serial driver loop they were the measured
-    // linear tail of a many-graph publish (O(zips) tmp+rename round-trips)
+    // per-zip sidecar XMLs (manifest_<zip>.xml + <zip>.xml for end parts)
+    // are written DISTRIBUTED, where the member rows are: the manifest body
+    // is O(zip members), so both collecting it to the driver (the old
+    // zip-build collect) and writing it from a driver thread pool scale
+    // with total published members, not zips. The ordering contract is
+    // unchanged — this pass runs after the state commit (the crash tests'
+    // post-state window still sees zero metadata) and before the dump-xml
+    // regeneration. Only a count returns.
+    timed("zipSidecars") {
+      val sidecarJob = assigned
+        .select("graph_b64", "zipName", "is_complete", "resource", "md5", "length", "lastmod")
+        .repartition(col("graph_b64"), col("zipName"))
+        .sortWithinPartitions("graph_b64", "zipName", "resource")
+        .mapPartitions { it =>
+          val buf = it.buffered
+          val groups = new Iterator[Int] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): Int = {
+              val h = buf.head
+              val (g, name, complete) = (h.getString(0), h.getString(1), h.getBoolean(2))
+              val members = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, String)]
+              while (buf.hasNext && buf.head.getString(0) == g && buf.head.getString(1) == name) {
+                val r = buf.next()
+                members += ((r.getString(3), r.getString(4), r.getLong(5), r.getString(6)))
+              }
+              val zfs = new Path(sink).getFileSystem(hconf.value)
+              val gDir = new Path(sink, g)
+              val manifest = manifestXml(members.toSeq.map { case (res, m, len, lm) =>
+                (res.substring(res.lastIndexOf('/') + 1), m, len, lm)
+              })
+              writeFile(zfs, new Path(gDir, s"manifest_$name.xml"), manifest)
+              if (!complete) writeFile(zfs, new Path(gDir, s"$name.xml"), manifest)
+              1
+            }
+          }
+          groups
+        }(org.apache.spark.sql.Encoders.scalaInt)
+      sidecarJob.count(): Unit
+    }
+
     val nowIso = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
-    val builtInfos: Seq[(ZipInfo, String)] = built.toSeq.map {
-      case (g, name, complete, n, len, md5v, lastmod, manifest) =>
-        (ZipInfo(g, name, complete, n, len, md5v, lastmod), manifest)
+    val builtInfos: Seq[ZipInfo] = built.toSeq.map {
+      case (g, name, complete, n, len, md5v, lastmod) =>
+        ZipInfo(g, name, complete, n, len, md5v, lastmod)
     }
     val summaries = scala.collection.mutable.ArrayBuffer.empty[ZipInfo]
-    summaries ++= builtInfos.map(_._1)
+    summaries ++= builtInfos
 
     // per-graph resource-dump.xml (accumulating: previous defs stay listed).
     // Graphs are independent (disjoint directories) — the metadata writes
     // run on a small thread pool: serially this driver loop is O(graphs)
     // of filesystem round-trips, the publish tail's bottleneck once the
     // graph count is large.
-    timed("graphMetadata")(forEachParallel(builtInfos.groupBy(_._1.graph_b64).toSeq, metadataThreads) { case (g, zPairs) =>
-      val zs = zPairs.map(_._1)
+    timed("graphMetadata")(forEachParallel(builtInfos.groupBy(_.graph_b64).toSeq, metadataThreads) { case (g, zs) =>
       val gDir = new Path(sinkDir, g)
       val gUrl = s"$publishUrl$g/"
-      // per-zip sidecars first (create_zip write_list=True semantics)
-      zPairs.foreach { case (zi, manifest) =>
-        writeFile(f, new Path(gDir, s"manifest_${zi.zipName}.xml"), manifest)
-        if (!zi.complete)
-          writeFile(f, new Path(gDir, s"${zi.zipName}.xml"), manifest)
-      }
+      // (per-zip sidecars were already written by the distributed pass
+      // above — create_zip write_list=True semantics, executor-side)
       val already: Seq[ZipInfo] = readDump(f, gDir, g)
       // EVERY listed end part is provisional by definition: this run
       // recomputed the full unpublished inventory, so an end entry it did

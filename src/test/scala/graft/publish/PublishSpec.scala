@@ -80,6 +80,26 @@ class PublishSpec extends GraftSpec {
   }
   private def exists(p: String): Boolean = new java.io.File(p).exists()
 
+  test("driver boundary is bounded: one summary row per zip, sidecars on disk") {
+    // the zip-build collect must return O(zips) summary ROWS — never the
+    // manifest bodies (O(members) each; at a 50k-zip publish that was
+    // multi-GB driver ingress). Manifest/end sidecar XMLs are written by
+    // the distributed pass, so they must exist for EVERY zip built.
+    val src = tmpDir("pubb_src"); val sink = tmpDir("pubb_sink")
+    (0 until 7).foreach(writePatch(src, _)) // filesPerZip=2 -> 3 def + 1 end
+    var builtRows = -1
+    val out = ZipPublisher.publish(spark, src, sink, filesPerZip = 2,
+      onBuiltForTests = rows => builtRows = rows.size)
+    assert(out.size == 4 && builtRows == 4, s"want 4 zip summaries, got $builtRows")
+    out.foreach { zi =>
+      assert(exists(s"$sink/$g64/manifest_${zi.zipName}.xml"),
+        s"missing distributed sidecar for ${zi.zipName}")
+      if (!zi.complete) assert(exists(s"$sink/$g64/${zi.zipName}.xml"))
+    }
+    // the summary row type itself carries no member-level payload
+    assert(classOf[ZipPublisher.ZipInfo].getDeclaredFields.length == 7)
+  }
+
   test("zip publish: zero resources publishes nothing (scenario :25-34)") {
     val src = tmpDir("pubz_src"); val sink = tmpDir("pubz_sink")
     val out = ZipPublisher.publish(spark, src, sink, filesPerZip = 3)
