@@ -224,12 +224,163 @@ object MinHashBlocking {
   */
 object IriCanonicalizer {
 
+  /** Domain size at or below which [[canonicalMap]] computes on the DRIVER
+    * with the bit-identical plain-Scala LSH mirror (same precedent as
+    * ConnectedComponents.driverThreshold): the distributed LSH DAG is ~10
+    * exchanges of fixed job latency — measured 1.7 s at bootstrap for a
+    * dozens-of-IRIs domain. 20k strings ≈ 2 MB collected. The mirror
+    * declines (None) if a band bucket group explodes past its cap, so the
+    * quadratic candidate space can never land on the driver. */
+  val driverDomainLimit: Int = 20000
+
+  /** Per-band-bucket group cap for the driver mirror: a group this size
+    * means a pathological near-identical id corpus — fall back to the
+    * distributed path, which spreads the same quadratic candidate space
+    * over the cluster. */
+  private val driverBucketCap: Int = 4096
+
   /** df(id) of entity IRIs -> canonical map df(id, canonical). */
   def canonicalMap(spark: SparkSession, iris: DataFrame,
                    jaccardThreshold: Double = 0.6): DataFrame = {
+    // size probe: limit(L+1) short-circuits on large domains, and under the
+    // gate the probe rows ARE the whole domain (no second evaluation)
+    val probe = ConnectedComponents.timed("iris.probe")(
+      iris.select(col("id")).limit(driverDomainLimit + 1).collect())
+    if (probe.length <= driverDomainLimit) {
+      val ids = probe.map(_.getString(0)).toSeq.distinct
+      canonicalMapScala(ids, jaccardThreshold) match {
+        case Some(rows) =>
+          import spark.implicits._
+          return rows.toDF("id", "canonical")
+        case None => // band-bucket blowup: fall through to distributed
+      }
+    }
+    canonicalMapDistributed(spark, iris, jaccardThreshold)
+  }
+
+  /** The distributed LSH+CC path (the only path before r7; kept verbatim —
+    * the driver mirror is spec-asserted EQUAL against it). */
+  private[canon] def canonicalMapDistributed(spark: SparkSession, iris: DataFrame,
+                                             jaccardThreshold: Double): DataFrame = {
     val irisC = ConnectedComponents.timed("iris.checkpoint")(iris.localCheckpoint())
     mapFromEdges(spark, irisC, verifiedPairs(irisC, jaccardThreshold))
   }
+
+  // --- plain-Scala mirror of the LSH pipeline (driver fast path) -----------
+  // Each step mirrors the Column form BIT-IDENTICALLY via the verified
+  // XXH64 chain mirror (XxHash64MirrorSpec): Spark's xxhash64(c1, c2)
+  // seeds 42 and feeds each argument's hash into the next, so
+  // xxhash64(tok, lit(i)) == XXH64.hashInt(i, XXH64.hashString(tok, 42L)).
+  // CanonicalizerSpec asserts driver == distributed on alias corpora and
+  // adversarial locals; the q_pipeline_* oracle rows cover it end to end.
+
+  private val localNameRe = java.util.regex.Pattern.compile("([^/#]+)$")
+
+  /** Mirror of the toks derivation in [[verifiedPairs]], operation order
+    * EXACT: extract local name, strip non-[a-z0-9] (NOTE: this runs BEFORE
+    * `lower`, so UPPERCASE characters are stripped, not kept), lowercase,
+    * distinct 3-gram substrings tail-truncated like `substring`. An empty
+    * local yields the SINGLETON empty-string shingle — the Column form has
+    * no empty filter, and two empty-local ids verify at Jaccard 1.0 (the
+    * spec pins this degenerate case on both paths). */
+  private[canon] def shingleScala(id: String): Array[String] = {
+    val m = localNameRe.matcher(id)
+    val local = (if (m.find()) m.group(1) else "")
+      .replaceAll("[^a-z0-9]", "").toLowerCase(java.util.Locale.ROOT)
+    val L = local.length
+    val upTo = math.max(L - 2, 1)
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i < upTo) {
+      seen.add(local.substring(math.min(i, L), math.min(i + 3, L)))
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
+  }
+
+  /** Driver mirror of signatures -> banded candidate pairs -> exact-Jaccard
+    * verification. None when a band bucket exceeds [[driverBucketCap]]. */
+  private[canon] def verifiedPairsScala(ids: Seq[String], th: Double,
+      leftIds: Option[Set[String]] = None): Option[Seq[(String, String)]] = {
+    val numHashes = 16; val bands = 8; val rowsPerBand = 2
+    val toks: Map[String, Array[String]] =
+      ids.iterator.map(id => id -> shingleScala(id)).toMap
+    val sigs: Map[String, Array[Long]] = ids.iterator.map { id =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      toks(id).foreach { t =>
+        val h1 = graft.sources.XXH64.hashString(t, 42L)
+        var i = 0
+        while (i < numHashes) {
+          val h = graft.sources.XXH64.hashInt(i, h1)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      id -> sig
+    }.toMap
+    // band buckets: xxhash64(concat_ws(",", sig(2b), sig(2b+1)), lit(b))
+    val buckets = new scala.collection.mutable.HashMap[(Int, Long),
+      scala.collection.mutable.ArrayBuffer[String]]
+    ids.foreach { id =>
+      val sig = sigs(id)
+      var b = 0
+      while (b < bands) {
+        val key = graft.sources.XXH64.hashInt(b, graft.sources.XXH64.hashString(
+          s"${sig(b * rowsPerBand)},${sig(b * rowsPerBand + 1)}", 42L))
+        val grp = buckets.getOrElseUpdate((b, key),
+          scala.collection.mutable.ArrayBuffer.empty[String])
+        grp += id
+        if (grp.size > driverBucketCap) return None // quadratic hazard: decline
+        b += 1
+      }
+    }
+    val pairs = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+    buckets.valuesIterator.foreach { grp =>
+      var i = 0
+      while (i < grp.size) {
+        var j = 0
+        while (j < grp.size) {
+          val (a, b) = (grp(i), grp(j))
+          // mirror of candidatePairs: left side restricted to leftIds when
+          // given; a != b; normalized (min, max); distinct via the set
+          if (a != b && leftIds.forall(_.contains(a))) {
+            val p = if (a < b) (a, b) else (b, a)
+            pairs.add(p)
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    Some(pairs.iterator.filter { case (a, b) =>
+      val (ta, tb) = (toks(a).toSet, toks(b).toSet)
+      val uni = ta.union(tb).size.toDouble
+      uni > 0 && ta.intersect(tb).size.toDouble / uni >= th
+    }.toSeq)
+  }
+
+  /** Driver mirror of [[canonicalMap]]: verified pairs -> union-find with
+    * min-representative (identical labels to ConnectedComponents) ->
+    * identity rows for unmatched ids. */
+  private[canon] def canonicalMapScala(ids: Seq[String],
+                                       th: Double): Option[Seq[(String, String)]] =
+    verifiedPairsScala(ids, th).map { edges =>
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      ids.map(id => id -> find(id))
+    }
 
   /** Monotone-domain extension of a persisted canonical map (pipeline state,
     * reference T2-style): the domain is (old ids ∪ old canonicals ∪ new

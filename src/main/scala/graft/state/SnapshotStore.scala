@@ -277,9 +277,14 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
   // --- commits -------------------------------------------------------------
 
   /** Full (bootstrap) commit: writes every bucket. `df` must already carry
-    * an int `bucket` column. */
-  def commitFull(df: DataFrame, id: Long): Unit = {
-    stageFull(df, id)
+    * an int `bucket` column. `deferSidecar = true` skips the term-bloom
+    * sidecar build (one extra column-pruned read of the written data) —
+    * the caller overlaps it with other work via [[buildSidecarForLatest]];
+    * an absent sidecar is always the safe conservative fallback
+    * (candidateBuckets includes the whole dir), so a crash in the window
+    * costs pruning, never correctness. */
+  def commitFull(df: DataFrame, id: Long, deferSidecar: Boolean = false): Unit = {
+    stageFull(df, id, deferSidecar)
     finalizeCommit(id)
   }
 
@@ -288,14 +293,26 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * that writes several stores atomically stages each, writes its own
     * commit marker, then [[finalizeCommit]]s all of them; a crash in
     * between is repaired by replaying the finalize (metadata-only). */
-  def stageFull(df: DataFrame, id: Long): Unit = withLease {
+  def stageFull(df: DataFrame, id: Long, deferSidecar: Boolean = false): Unit = withLease {
     val dataDir = new Path(root, f"snap_$id%014d").toString
     timed("full.write")(df.repartition(numBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dataDir))
-    timed("full.sidecar")(writeTermSidecar(dataDir, dataDir))
+    if (!deferSidecar) timed("full.sidecar")(writeTermSidecar(dataDir, dataDir))
     val base = (0 until numBuckets).map(b => b -> s"$dataDir/bucket=$b").toMap
     writeAtomic(manifestPath(id), manifestText(base, Seq.empty))
   }
+
+  /** Build the term-bloom sidecars for the LATEST snapshot's base dirs —
+    * the deferred half of `commitFull(deferSidecar = true)`. Idempotent
+    * (rewrites the sidecar from the committed parquet); safe after the
+    * pointer flip because a snap dir referenced by the latest manifest is
+    * never vacuumed and readers treat a missing sidecar conservatively. */
+  def buildSidecarForLatest(): Unit = latest.foreach { id => withLease {
+    val (base, _) = readManifest(id)
+    val dirs: Set[String] = base.values.filter(_.nonEmpty)
+      .map(p => new Path(p).getParent.toString).toSet
+    dirs.foreach(dir => timed("full.sidecar")(writeTermSidecar(dir, dir)))
+  } }
 
   /** Stage a MERGE-ON-READ delta commit: O(batch) writes regardless of
     * store size. `additions` must carry the store schema incl. `bucket`;

@@ -346,9 +346,17 @@ final class QuadLogPipeline(
         rewriteIfNonTrivial(raw, view, viewRows)
       }
     timed("bootstrap.commitContrib") {
-      contrib.commitFull(contribData.withColumn("bucket", contrib.bucketCol(col("url"))), 0L)
+      // sidecar DEFERRED: its build (one column-pruned re-read of the just
+      // written parquet) is independent of the facts aggregation below, so
+      // it runs as an overlapped future instead of serializing the chain;
+      // absent-sidecar windows are the safe conservative fallback.
+      contrib.commitFull(contribData.withColumn("bucket", contrib.bucketCol(col("url"))), 0L,
+        deferSidecar = true)
       contrib.setEpoch(epoch)
     }
+    val fContribSidecar = Future(timed("bootstrap.contribSidecar") {
+      contrib.buildSidecarForLatest()
+    })
     val cBack = contrib.read().get
     // support = count(1), NOT count_distinct(url): contrib rows are distinct
     // per (url, quad) BY CONSTRUCTION (per-page dedup in every extractor
@@ -383,12 +391,13 @@ final class QuadLogPipeline(
     // the store commits above are internal state a re-run overwrites.
     val fAdded = Future(timed("bootstrap.addedCount")(sBack.count())) // parquet metadata count
     val fRecheck = Future(timed("bootstrap.recheckFp")(assertSnapshotStable(pages, fp0)))
-    val (rFiles, rIdx, rAdded, rRecheck) =
+    val (rFiles, rIdx, rAdded, rRecheck, rSidecar) =
       (scala.util.Try(Await.result(fFiles, Duration.Inf)),
         scala.util.Try(Await.result(fIdx, Duration.Inf)),
         scala.util.Try(Await.result(fAdded, Duration.Inf)),
-        scala.util.Try(Await.result(fRecheck, Duration.Inf)))
-    Seq(rRecheck, rFiles, rIdx, rAdded)
+        scala.util.Try(Await.result(fRecheck, Duration.Inf)),
+        scala.util.Try(Await.result(fContribSidecar, Duration.Inf)))
+    Seq(rRecheck, rFiles, rIdx, rAdded, rSidecar)
       .collectFirst { case scala.util.Failure(e) => throw e }
     val files = rFiles.get
     val added = rAdded.get

@@ -135,6 +135,27 @@ class CanonicalizerSpec extends GraftSpec {
     assert(same == oldMap.as[(String, String)].collect().toMap)
   }
 
+  test("driver-tier canonical map == distributed LSH+CC path (bit-exact)") {
+    val d = graft.sources.PageGen.dictionary
+    val iris = (d.map(_.iri) ++ d.take(3).map(e => graft.sources.PageGen.aliasIri(e.iri)) ++ Seq(
+      "http://kg.example.org/entity/X",            // 1-char local
+      "http://kg.example.org/entity/",             // EMPTY local name
+      "http://kg.example.org/entity/ab",           // 2-char local
+      "http://kg.example.org/entity/A#Frag",       // fragment split
+      "http://kg.example.org/class/Person",
+      "http://kg.example.org/entity/Um-l_aut9.x",  // specials stripped
+      "http://kg.example.org/alt/Um-l_aut9.x"      // its alias
+    )).distinct
+    val df = iris.toDF("id")
+    val driver = IriCanonicalizer.canonicalMap(spark, df)
+      .as[(String, String)].collect().toMap
+    val dist = IriCanonicalizer.canonicalMapDistributed(spark, df, 0.6)
+      .as[(String, String)].collect().toMap
+    assert(driver == dist, s"driver mirror diverged: " +
+      s"only-driver=${driver.toSet -- dist.toSet} only-dist=${dist.toSet -- driver.toSet}")
+    assert(driver.exists { case (id, c) => id != c }, "corpus must exercise merges")
+  }
+
   test("store-map invariant: every canonical value is also an id row") {
     // extendChangedGivenFresh (the pipeline's pruned path) checks fresh ids
     // against the map's id column ALONE — valid iff representatives always
