@@ -283,8 +283,9 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * an absent sidecar is always the safe conservative fallback
     * (candidateBuckets includes the whole dir), so a crash in the window
     * costs pruning, never correctness. */
-  def commitFull(df: DataFrame, id: Long, deferSidecar: Boolean = false): Unit = {
-    stageFull(df, id, deferSidecar)
+  def commitFull(df: DataFrame, id: Long, deferSidecar: Boolean = false,
+                 assumePartitioned: Boolean = false): Unit = {
+    stageFull(df, id, deferSidecar, assumePartitioned)
     finalizeCommit(id)
   }
 
@@ -292,10 +293,21 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
     * NOT flipped — readers still see the previous snapshot. A coordinator
     * that writes several stores atomically stages each, writes its own
     * commit marker, then [[finalizeCommit]]s all of them; a crash in
-    * between is repaired by replaying the finalize (metadata-only). */
-  def stageFull(df: DataFrame, id: Long, deferSidecar: Boolean = false): Unit = withLease {
+    * between is repaired by replaying the finalize (metadata-only).
+    *
+    * `assumePartitioned = true` skips the bucket exchange: the caller
+    * asserts `df` is ALREADY partitioned such that each physical partition
+    * holds complete bucket values (e.g. it was repartitioned by an
+    * expression the bucket is a function of — the pipeline's support
+    * aggregation). The `partitionBy` writer splits dirs correctly either
+    * way; skipping the exchange just avoids re-shuffling a store-sized
+    * stream that is already where it needs to be (guide §2.4: two
+    * operations keyed the same way share one exchange). */
+  def stageFull(df: DataFrame, id: Long, deferSidecar: Boolean = false,
+                assumePartitioned: Boolean = false): Unit = withLease {
     val dataDir = new Path(root, f"snap_$id%014d").toString
-    timed("full.write")(df.repartition(numBuckets, col("bucket"))
+    val placed = if (assumePartitioned) df else df.repartition(numBuckets, col("bucket"))
+    timed("full.write")(placed
       .write.mode("overwrite").partitionBy("bucket").parquet(dataDir))
     if (!deferSidecar) timed("full.sidecar")(writeTermSidecar(dataDir, dataDir))
     val base = (0 until numBuckets).map(b => b -> s"$dataDir/bucket=$b").toMap

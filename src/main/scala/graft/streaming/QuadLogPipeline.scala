@@ -358,15 +358,8 @@ final class QuadLogPipeline(
       contrib.buildSidecarForLatest()
     })
     val cBack = contrib.read().get
-    // support = count(1), NOT count_distinct(url): contrib rows are distinct
-    // per (url, quad) BY CONSTRUCTION (per-page dedup in every extractor
-    // path and after every canonical rewrite), so plain count is equal and
-    // skips exact-distinct's per-group hash sets on the full-corpus agg
-    val supports = cBack.groupBy(quadCols.map(col): _*)
-      .agg(count(lit(1)).as("support"))
-      .withColumn("bucket", facts.bucketCol(quadKey: _*))
     timed("bootstrap.commitFacts") {
-      facts.commitFull(supports, 0L)
+      facts.commitFull(supportCounts(cBack), 0L, assumePartitioned = true)
       facts.setEpoch(epoch)
     }
     // Patches dump from the COMMITTED facts parquet (cheap columnar scans —
@@ -766,6 +759,60 @@ final class QuadLogPipeline(
   /** Quad-identity bucket key: the columns themselves — bucketCol hashes
     * them variadically (xxhash64(s,p,...)), never a concatenated string. */
   private def quadKey = quadCols.map(col)
+
+  /** Bootstrap support counts with ONE corpus-sized exchange instead of
+    * two. The aggregation's group key DETERMINES the facts-store bucket
+    * (bucket = xxhash64(quad) % n), so a `groupBy(quad)` exchange followed
+    * by the store's `repartition(bucket)` exchange shuffles the corpus
+    * twice for one placement. Instead: partition ONCE by bucket (every
+    * quad group lands whole in one partition), Tungsten-sort within the
+    * partition, and count consecutive identical keys in a streaming typed
+    * pass — O(one group) memory, and the external sort spills gracefully
+    * at any bucket size (a per-bucket hash map would not). The output is
+    * already placed for the store write (commitFull assumePartitioned).
+    * Plan: 2 Exchange -> 1 on the bootstrap's biggest shuffle.
+    *
+    * support = count(1), NOT count_distinct(url): contrib rows are
+    * distinct per (url, quad) BY CONSTRUCTION (per-page dedup in every
+    * extractor path and after every canonical rewrite).
+    * PipelineSpec asserts equality with the groupBy formulation, nulls
+    * and empty strings included. */
+  private[graft] def supportCounts(cBack: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val keyed = cBack.select(quadCols.map(col): _*)
+      .withColumn("bucket", facts.bucketCol(quadKey: _*))
+    val sorted = keyed
+      .repartition(numBuckets, col("bucket"))
+      .sortWithinPartitions(quadCols.map(col): _*)
+    val outSchema = StructType(
+      sorted.schema.fields.filter(_.name != "bucket") ++
+        Seq(StructField("support", LongType, nullable = false),
+          StructField("bucket", IntegerType, nullable = false)))
+    val nKey = quadCols.length
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    sorted.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private val buf = it.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val head = buf.next()
+          var support = 1L
+          def sameKey(r: org.apache.spark.sql.Row): Boolean = {
+            var i = 0
+            while (i < nKey) {
+              if (!java.util.Objects.equals(r.get(i), head.get(i))) return false
+              i += 1
+            }
+            true
+          }
+          while (buf.hasNext && sameKey(buf.head)) { buf.next(); support += 1 }
+          org.apache.spark.sql.Row.fromSeq(
+            (0 until nKey).map(head.get) ++
+              Seq[Any](support, head.getInt(nKey))) // NOT Seq(l, i): it widens the Int
+        }
+      }
+    }(enc)
+  }
 
   /** Remap-id collect gate: above this many superseded representatives the
     * remap scan skips the driver-side bloom probe and reads the full store

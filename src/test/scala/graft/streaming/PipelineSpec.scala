@@ -204,6 +204,30 @@ class PipelineSpec extends GraftSpec {
     assert(QuadDiff.diff(cur, pipe.extractedQuads(all)).count() == 0)
   }
 
+  test("one-exchange supportCounts == groupBy support aggregation") {
+    val root = tmpDir("graft_supp")
+    val pipe = new QuadLogPipeline(spark, root, numBuckets = 8, canonicalize = false)
+    // adversarial key content: nulls, empties, duplicates across many urls,
+    // and near-identical quads differing in one slot
+    val rows = (0 until 500).map { i =>
+      ("u" + (i % 37), "s" + (i % 11), "p" + (i % 3),
+        if (i % 7 == 0) null else "o" + (i % 5),
+        i % 2, if (i % 5 == 0) "" else "dt" + (i % 4),
+        if (i % 3 == 0) null else "ln", "g" + (i % 6))
+    }
+    val df = rows.toDF("url", "s", "p", "oLex", "oKind", "oDtype", "oLang", "g")
+    val fast = pipe.supportCounts(df)
+      .select("s", "p", "oLex", "oKind", "oDtype", "oLang", "g", "support", "bucket")
+      .collect().map(_.toSeq).toSet
+    val slow = df.groupBy(QuadDiff.quadCols.map(col): _*)
+      .agg(count(lit(1)).as("support"))
+      .withColumn("bucket", pipe.facts.bucketCol(QuadDiff.quadCols.map(col): _*))
+      .select("s", "p", "oLex", "oKind", "oDtype", "oLang", "g", "support", "bucket")
+      .collect().map(_.toSeq).toSet
+    assert(fast == slow, s"supportCounts diverged: only-fast=${(fast -- slow).take(3)} " +
+      s"only-slow=${(slow -- fast).take(3)}")
+  }
+
   test("canon-map reads are bucket-pruned via term-bloom sidecars") {
     import graft.model.Page
     val root = tmpDir("graft_canonprune")
