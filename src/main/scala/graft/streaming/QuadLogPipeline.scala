@@ -436,7 +436,12 @@ final class QuadLogPipeline(
     recoverPartialCommit()
     if (alreadyCommitted(batchId)) return BatchResult(batchId, 0, 0, 0) // idempotent re-run
 
-    val rawNew = rawQuads(changed)
+    // CHANGED-page extraction materialized ONCE: both the canon IRI pass
+    // and the contribution rewrite consume it, and lazily each re-ran the
+    // extraction kernel. Unlike bootstrap (corpus-sized — deliberately
+    // recomputed, see rawQuads), this is O(batch) rows in the block store,
+    // the same bound as newSide below.
+    val rawNew = timed("incr.rawNew")(rawQuads(changed).localCheckpoint())
     val (newContrib0, remapPairs) =
       if (!canonicalize)
         (rawNew, rawNew.limit(0).select(col("s").as("id"), col("s").as("canonical")))
