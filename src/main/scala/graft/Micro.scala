@@ -371,14 +371,17 @@ object Micro {
       val pipe = new graft.streaming.QuadLogPipeline(spark, root, numBuckets = 64)
       def iriOf(i: org.apache.spark.sql.Column) =
         concat(lit("http://kg.example.org/entity/"), md5(i.cast("string")))
-      val mapDf = spark.range(0, n).select(
-          iriOf(col("id")).as("id"),
-          // every 100th id is an alias of its predecessor -> the map is
-          // non-trivial and the invariant (canonical ∈ ids) holds
-          when(pmod(col("id"), lit(100)) === 0 && col("id") > 0,
-            iriOf(col("id") - 1)).otherwise(iriOf(col("id"))).as("canonical"))
+      val mapDf = graft.canon.IriCanonicalizer.withSignatures(
+          spark.range(0, n).select(
+            iriOf(col("id")).as("id"),
+            // every 100th id is an alias of its predecessor -> the map is
+            // non-trivial and the invariant (canonical ∈ ids) holds
+            when(pmod(col("id"), lit(100)) === 0 && col("id") > 0,
+              iriOf(col("id") - 1)).otherwise(iriOf(col("id"))).as("canonical")))
+        // sig is the write-side persisted signature (typed kernel) — the
+        // one-time cost paid at first write so no batch ever recomputes it
         .withColumn("bucket", pipe.canon.bucketCol(col("id")))
-      time(s"canon store commitFull ($n ids + sidecars)") {
+      time(s"canon store commitFull ($n ids + sig + sidecars)") {
         pipe.canon.commitFull(mapDf, 0L)
       }
       // batch: ~2k known iris spread over the id space (s and oLex slots)
@@ -425,6 +428,84 @@ object Micro {
       assert(oldRewrite == newRewrite,
         s"pruned rewrite diverged: $newRewrite != $oldRewrite")
       println(s"[micro] canon rewrite rows=${newRewrite._1} (old == new)")
+      // --- map EXTENSION with fresh ids: the last O(map) compute term ---
+      // A batch bringing fresh ids runs extendChangedGivenFresh. The
+      // recompute shape pays a shingle + HOF-minhash signature pass over
+      // the ENTIRE accumulated domain (n ids) per batch; the persisted-sig
+      // shape (verifiedPairsStored) computes O(fresh) signatures and scans
+      // the store's narrow (id, sig) columns pre-filtered by the fresh
+      // band keys. Same changed rows, asserted.
+      val o = pipe.canon.read().get.select("id", "canonical")
+      val freshN = 2000L
+      val fresh = spark.range(0, freshN).select(
+          concat(lit("http://kg.example.org/entity/fresh-"),
+            md5(col("id").cast("string"))).as("id"))
+        .localCheckpoint()
+      def cfp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          bit_xor(xxhash64(col("id"), col("canonical")))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val oldExt = time(s"OLD extendChangedGivenFresh (signature pass over $n ids)")(
+        cfp(graft.canon.IriCanonicalizer.extendChangedGivenFresh(spark, o, fresh)))
+      val sigs = pipe.canon.read().get.select("id", "sig")
+      val newExt = time("NEW extendChangedGivenFresh (persisted sigs)")(
+        cfp(graft.canon.IriCanonicalizer.extendChangedGivenFresh(spark, o, fresh,
+          storedSigs = Some(sigs))))
+      assert(oldExt == newExt, s"stored-sig extension diverged: $newExt != $oldExt")
+      println(s"[micro] canon extension changed rows=${newExt._1} (old == new)")
+      spark.stop(); return
+    }
+    if (sys.env.contains("CANON_VPS")) {
+      // step decomposition of verifiedPairsStored at an N-id stored map —
+      // where does the candidate-pair stage spend its time?
+      import graft.canon.{IriCanonicalizer, MinHashBlocking}
+      val n = sys.env("CANON_VPS").toLong
+      val root = Bench.scratchRoot("micro_vps")
+      val pipe = new graft.streaming.QuadLogPipeline(spark, root, numBuckets = 64)
+      def iriOf(i: org.apache.spark.sql.Column) =
+        concat(lit("http://kg.example.org/entity/"), md5(i.cast("string")))
+      val mapDf = IriCanonicalizer.withSignatures(
+          spark.range(0, n).select(iriOf(col("id")).as("id"),
+            when(pmod(col("id"), lit(100)) === 0 && col("id") > 0,
+              iriOf(col("id") - 1)).otherwise(iriOf(col("id"))).as("canonical")))
+        .withColumn("bucket", pipe.canon.bucketCol(col("id")))
+      time(s"store build ($n ids)")(pipe.canon.commitFull(mapDf, 0L))
+      val storedSigs = pipe.canon.read().get.select("id", "sig")
+      val fresh = spark.range(0, 2000).select(
+          concat(lit("http://kg.example.org/entity/fresh-"),
+            md5(col("id").cast("string"))).as("id"))
+        .localCheckpoint()
+      val freshSigs = IriCanonicalizer.withSignatures(fresh.select("id")).localCheckpoint()
+      def banded(sigs: org.apache.spark.sql.DataFrame) = sigs.select(col("id"),
+        posexplode(MinHashBlocking.bandCol(col("sig"), 8, 2)).as(Seq("band", "bucket")))
+      val freshBanded = banded(freshSigs).localCheckpoint()
+      println(s"[micro] freshBanded rows=${freshBanded.count()}")
+      val freshKeys = freshBanded.select("band", "bucket").distinct()
+      val storedPruned = time("storedPruned (banded scan + semi)")(
+        banded(storedSigs)
+          .join(broadcast(freshKeys), Seq("band", "bucket"), "left_semi")
+          .localCheckpoint())
+      println(s"[micro] storedPruned rows=${storedPruned.count()}")
+      val l = freshBanded.select(col("band"), col("bucket"), col("id").as("a"))
+      val r = storedPruned.unionByName(freshBanded)
+        .select(col("band"), col("bucket"), col("id").as("b"))
+      val rawPairs = l.join(r, Seq("band", "bucket"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      println(s"[micro] rawPairs rows=${time("rawPairs count")(rawPairs.count())}")
+      val dPairs = time("pairs distinct")(rawPairs.distinct().localCheckpoint())
+      println(s"[micro] distinct pairs rows=${dPairs.count()}")
+      val verified = time("jaccard verify")(
+        dPairs
+          .withColumn("ta", IriCanonicalizer.toksColumn(col("a")))
+          .withColumn("tb", IriCanonicalizer.toksColumn(col("b")))
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+          .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("double"))
+          .filter(col("uni") > 0 && col("inter") / col("uni") >= 0.6)
+          .select(col("a").as("src"), col("b").as("dst"))
+          .localCheckpoint())
+      println(s"[micro] verified rows=${verified.count()}")
       spark.stop(); return
     }
     if (sys.env.contains("BLOOM_TREE")) {

@@ -163,9 +163,12 @@ object ConnectedComponents {
   */
 object MinHashBlocking {
 
-  /** df(id, toks: array<string>) -> signatures df(id, sig: array<bigint>). */
-  def signatures(df: DataFrame, numHashes: Int): DataFrame = {
-    val sigCols = (0 until numHashes).map { i =>
+  /** The MinHash signature as ONE array column — the exact per-function
+    * expression [[signatures]] always built, factored so the write-side
+    * persisted `sig` (canon store) and every read-side recompute are the
+    * SAME Catalyst tree (bit-equal values by construction). */
+  def signatureCol(toks: org.apache.spark.sql.Column, numHashes: Int): org.apache.spark.sql.Column =
+    array((0 until numHashes).map { i =>
       // min over tokens of xxhash64(token, seed_i). NOTE: Spark's HOF
       // aggregate()/transform() are CodegenFallback (interpreted,
       // allocation-heavy — the repo's round-2/3 measured lesson; see
@@ -175,13 +178,26 @@ object MinHashBlocking {
       // batch), never a corpus-sized column — Micro's MINHASH_HOF probe
       // pins the cost; do NOT copy this pattern onto document text.
       aggregate(
-        transform(col("toks"), t => xxhash64(t, lit(i))),
+        transform(toks, t => xxhash64(t, lit(i))),
         lit(Long.MaxValue),
-        (acc, h) => least(acc, h)).as(s"h$i")
-    }
-    df.select((col("id") +: sigCols): _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+        (acc, h) => least(acc, h))
+    }: _*)
+
+  /** df(id, toks: array<string>) -> signatures df(id, sig: array<bigint>). */
+  def signatures(df: DataFrame, numHashes: Int): DataFrame =
+    df.select(col("id"), signatureCol(col("toks"), numHashes).as("sig"))
+
+  /** Band-bucket hashes of a signature as an array column: element b is the
+    * key [[candidatePairs]] buckets on — xxhash64 of the band's signature
+    * slice, salted by the band index. Factored for the same reason as
+    * [[signatureCol]]: persisted-signature candidate generation must band
+    * EXACTLY like the recompute path. */
+  def bandCol(sig: org.apache.spark.sql.Column, bands: Int,
+              rowsPerBand: Int): org.apache.spark.sql.Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rowsPerBand).map(r => sig(b * rowsPerBand + r)): _*), lit(b))
+    }: _*)
 
   /** Banded candidate pairs: ids sharing ANY band bucket. bands*rowsPerBand
     * must equal numHashes. Returns distinct (a, b) with a < b.
@@ -191,12 +207,19 @@ object MinHashBlocking {
     * produced. This is the incremental-batch shape — per-batch cost is then
     * |new ids| x bucket-mates, not |accumulated domain|². */
   def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
-                     leftIds: Option[DataFrame] = None): DataFrame = {
+                     leftIds: Option[DataFrame] = None): DataFrame =
+    candidatePairsRaw(sigs, bands, rowsPerBand, leftIds).distinct()
+
+  /** [[candidatePairs]] WITHOUT the final dedup: normalized (a, b) with one
+    * row per shared band bucket (a pair sharing k bands appears k times).
+    * For a caller that filters pairs by a pure function of (a, b) — canon's
+    * exact-Jaccard verification — filter-then-distinct is equivalent to
+    * distinct-then-filter and shrinks the dedup exchange from the candidate
+    * population to the survivors. */
+  def candidatePairsRaw(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                        leftIds: Option[DataFrame] = None): DataFrame = {
     val banded = sigs.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*), lit(b))
-      }: _*)).as(Seq("band", "bucket")))
+      posexplode(bandCol(col("sig"), bands, rowsPerBand)).as(Seq("band", "bucket")))
     val lsrc = leftIds match {
       case None      => banded
       case Some(ids) => banded.join(ids.select("id"), Seq("id"), "left_semi")
@@ -208,7 +231,6 @@ object MinHashBlocking {
     l.join(r, Seq("band", "bucket"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
-      .distinct()
   }
 }
 
@@ -304,22 +326,11 @@ object IriCanonicalizer {
     * verification. None when a band bucket exceeds [[driverBucketCap]]. */
   private[canon] def verifiedPairsScala(ids: Seq[String], th: Double,
       leftIds: Option[Set[String]] = None): Option[Seq[(String, String)]] = {
-    val numHashes = 16; val bands = 8; val rowsPerBand = 2
+    val numHashes = sigHashes; val bands = sigBands; val rowsPerBand = sigRowsPerBand
     val toks: Map[String, Array[String]] =
       ids.iterator.map(id => id -> shingleScala(id)).toMap
-    val sigs: Map[String, Array[Long]] = ids.iterator.map { id =>
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      toks(id).foreach { t =>
-        val h1 = graft.sources.XXH64.hashString(t, 42L)
-        var i = 0
-        while (i < numHashes) {
-          val h = graft.sources.XXH64.hashInt(i, h1)
-          if (h < sig(i)) sig(i) = h
-          i += 1
-        }
-      }
-      id -> sig
-    }.toMap
+    val sigs: Map[String, Array[Long]] =
+      ids.iterator.map(id => id -> sigScala(id)).toMap
     // band buckets: xxhash64(concat_ws(",", sig(2b), sig(2b+1)), lit(b))
     val buckets = new scala.collection.mutable.HashMap[(Int, Long),
       scala.collection.mutable.ArrayBuffer[String]]
@@ -447,33 +458,149 @@ object IriCanonicalizer {
     * proportional to the touched subgraph, not the accumulated domain. */
   def extendChangedGivenFresh(spark: SparkSession, oldMap: DataFrame,
                               fresh: DataFrame,
-                              jaccardThreshold: Double = 0.6): DataFrame = {
-    // domain = map ids ∪ fresh — disjoint unions of already-distinct sets,
-    // so no dedup exchange. Checkpointed because verifiedPairs scans it
-    // three times (shingles, band join right side, verification sides);
-    // this — with the signature compute it feeds — is the one remaining
-    // per-batch term proportional to the accumulated domain (a persisted
-    // band index would remove it; see OPTIMIZATION_r07.md "Not yet").
-    val ids = oldMap.select(col("id")).union(fresh.select(col("id")))
-      .localCheckpoint()
-    val newEdges = verifiedPairs(ids, jaccardThreshold, leftIds = Some(fresh))
-      .localCheckpoint()
+                              jaccardThreshold: Double = 0.6,
+                              storedSigs: Option[DataFrame] = None): DataFrame = {
+    // Pair generation, two shapes:
+    //  - storedSigs = Some(id, sig): the accumulated side's signatures are
+    //    PERSISTED (canon store `sig` column) — per-batch compute is
+    //    O(fresh + candidates) and the stored side is one narrow columnar
+    //    scan, never a shingle/signature pass over the accumulated domain
+    //    (see verifiedPairsStored; CanonSpec asserts equality).
+    //  - None: recompute over the whole domain (pre-sig stores, spec
+    //    callers). domain = map ids ∪ fresh — disjoint unions of
+    //    already-distinct sets, so no dedup exchange; checkpointed because
+    //    verifiedPairs scans it three times (shingles, band join right
+    //    side, verification sides).
+    val newEdges = ConnectedComponents.timed("ext.newEdges")((storedSigs match {
+      case Some(ss) => verifiedPairsStored(fresh, ss, jaccardThreshold)
+      case None =>
+        val ids = oldMap.select(col("id")).union(fresh.select(col("id")))
+          .localCheckpoint()
+        verifiedPairs(ids, jaccardThreshold, leftIds = Some(fresh))
+    }).localCheckpoint())
     val endpoints = newEdges.select(col("src").as("id"))
       .union(newEdges.select(col("dst").as("id"))).distinct()
-    val touchedReps = oldMap
+    val touchedReps = ConnectedComponents.timed("ext.touchedReps")(oldMap
       .join(endpoints, Seq("id"), "left_semi")
       .select(col("canonical").as("rep")).distinct()
-      .localCheckpoint()
+      .localCheckpoint())
     val touchedOld = oldMap
       .join(touchedReps.withColumnRenamed("rep", "canonical"), Seq("canonical"), "left_semi")
-    val touchedIds = touchedOld.select(col("id"))
+    val touchedIds = ConnectedComponents.timed("ext.touchedIds")(touchedOld.select(col("id"))
       .union(touchedOld.select(col("canonical").as("id")))
       .union(fresh.select(col("id")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint())
     val edges = newEdges.unionByName(
       touchedOld.filter(col("id") =!= col("canonical"))
         .select(col("id").as("src"), col("canonical").as("dst")))
-    mapFromEdges(spark, touchedIds, edges)
+    ConnectedComponents.timed("ext.mapFromEdges")(mapFromEdges(spark, touchedIds, edges))
+  }
+
+  /** LSH geometry shared by every canon pair path (and the driver mirror's
+    * hard-coded copies — verifiedPairsScala). */
+  private[canon] val sigHashes = 16
+  private[canon] val sigBands = 8
+  private[canon] val sigRowsPerBand = 2
+
+  /** Shingle-token derivation as a pure Column of `id` (the verifiedPairs
+    * expression, factored): local name -> strip non-[a-z0-9] (BEFORE
+    * lower, so uppercase strips) -> lowercase -> distinct 3-gram substrings
+    * tail-truncated like `substring`. `toks = f(id)` is what lets the
+    * stored-signature path verify candidate pairs INLINE from the pair's
+    * own id strings instead of joining back to a domain-sized toks frame. */
+  private[graft] def toksColumn(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val local = lower(regexp_replace(regexp_extract(id, "([^/#]+)$", 1), "[^a-z0-9]", ""))
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(local) - 2, lit(1))),
+      i => local.substr(i, lit(3))))
+  }
+
+  /** MinHash signature of an id as a pure Column — the HOF reference form
+    * ([[toksColumn]] + [[MinHashBlocking.signatureCol]]). Kept as the
+    * independent CROSS-CHECK implementation: PipelineSpec asserts every
+    * persisted `sig` equals this recompute, so the typed kernel
+    * ([[sigScala]]) and the Column tree verify each other on every test
+    * corpus. Do NOT use it on large inputs — Spark's HOF
+    * aggregate/transform are CodegenFallback (interpreted): measured
+    * 660 s to sign a 10M-id write vs seconds for the kernel. */
+  private[graft] def signatureColumn(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    MinHashBlocking.signatureCol(toksColumn(id), sigHashes)
+
+  /** Typed MinHash kernel: plain-Scala shingles ([[shingleScala]]) + the
+    * verified XXH64 chain mirror — BIT-IDENTICAL to [[signatureColumn]]
+    * (XxHash64MirrorSpec pins the hash chain; CanonSpec/PipelineSpec pin
+    * kernel == Column on adversarial corpora and on every store row the
+    * pipeline writes). This is the production signature path: the HOF
+    * Column form is interpreted (CodegenFallback) and ~100× slower per
+    * row, which matters both for the one-time write-side signing of a
+    * bootstrap-sized map and for per-batch fresh-id signing. */
+  private[canon] def sigScala(id: String): Array[Long] = {
+    val sig = Array.fill(sigHashes)(Long.MaxValue)
+    shingleScala(id).foreach { t =>
+      val h1 = graft.sources.XXH64.hashString(t, 42L)
+      var i = 0
+      while (i < sigHashes) {
+        val h = graft.sources.XXH64.hashInt(i, h1)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Exact Jaccard over the two ids' shingle sets — the typed mirror of the
+    * Column verification (size(array_intersect)/size(array_union) over
+    * [[toksColumn]] arrays): toks arrays are distinct by construction, so
+    * the array sizes ARE set sizes, and the threshold compare is the same
+    * IEEE double division. */
+  private[canon] def jaccardScala(a: String, b: String): Double = {
+    val ta = shingleScala(a); val tb = shingleScala(b)
+    val sa = new java.util.HashSet[String](ta.length * 2)
+    ta.foreach(sa.add)
+    var inter = 0
+    tb.foreach(t => if (sa.contains(t)) inter += 1)
+    val uni = ta.length + tb.length - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni
+  }
+
+  /** Typed Jaccard verification of candidate (a, b) pairs -> (src, dst)
+    * edges at `th`. Bit-identical to the Column form (shingleScala mirrors
+    * toksColumn — CanonicalizerSpec; [[jaccardScala]] mirrors the size
+    * arithmetic) but ~100x cheaper per pair: the Column toks tree is a HOF
+    * transform (CodegenFallback, interpreted) that measured 237 s for a
+    * 13M-pair verification vs seconds typed (Micro CANON_VPS). The Column
+    * `uni > 0` guard is vacuous here — shingleScala always yields at least
+    * the singleton empty-string shingle, so uni >= 1 — but mirrored anyway. */
+  private def verifyPairsTyped(pairs: DataFrame, th: Double): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("dst",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    pairs.mapPartitions { it =>
+      it.flatMap { r =>
+        val a = r.getString(0); val b = r.getString(1)
+        if (jaccardScala(a, b) >= th) Some(org.apache.spark.sql.Row(a, b)) else None
+      }
+    }(enc)
+  }
+
+  /** Append the persisted `sig` column to `df` (which must carry a string
+    * `id`) via [[sigScala]] — the write-side signer for canon store
+    * commits and the fresh-batch signer for [[verifiedPairsStored]]. */
+  private[graft] def withSignatures(df: DataFrame): DataFrame = {
+    val idIdx = df.schema.fieldIndex("id")
+    val outSchema = df.schema.add("sig",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = true))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ (sigScala(r.getString(idIdx)).toSeq: Seq[Long]))
+      }
+    }(enc)
   }
 
   /** MinHash-LSH blocked + exact-Jaccard verified coreference candidate
@@ -482,25 +609,62 @@ object IriCanonicalizer {
     * [[MinHashBlocking.candidatePairs]]). */
   def verifiedPairs(iris: DataFrame, jaccardThreshold: Double,
                     leftIds: Option[DataFrame] = None): DataFrame = {
-    // expr form because substring's pos argument is a lambda variable
-    val toks = iris
-      .withColumn("local",
-        lower(regexp_replace(regexp_extract(col("id"), "([^/#]+)$", 1), "[^a-z0-9]", "")))
-      .withColumn("toks", expr(
-        "array_distinct(transform(sequence(1, greatest(length(local)-2, 1)), i -> substring(local, i, 3)))"))
-      .select("id", "toks")
+    // typed kernels, not the HOF Column forms — bit-identical values (see
+    // signatureColumn / verifyPairsTyped scaladocs) at a fraction of the
+    // per-row cost. Verification runs on the RAW band pairs and the dedup
+    // runs on the SURVIVORS: verification is a pure function of (a, b), so
+    // it commutes with distinct — the old shape shuffled the full candidate
+    // population (13M rows at the CANON_VPS probe shape) only to verify a
+    // few thousand of them; this shape re-verifies a pair once per extra
+    // shared band (bounded 8x, in practice ~1x) and shuffles only edges.
+    val sigs = withSignatures(iris.select("id"))
+    val raw = MinHashBlocking.candidatePairsRaw(sigs, sigBands, sigRowsPerBand, leftIds)
+    verifyPairsTyped(raw, jaccardThreshold).distinct()
+  }
 
-    val sigs = MinHashBlocking.signatures(toks, numHashes = 16)
-    val pairs = MinHashBlocking.candidatePairs(sigs, bands = 8, rowsPerBand = 2, leftIds)
-
-    // verify candidates with exact Jaccard on the shingle sets
-    val ta = toks.select(col("id").as("a"), col("toks").as("ta"))
-    val tb = toks.select(col("id").as("b"), col("toks").as("tb"))
-    pairs.join(ta, Seq("a")).join(tb, Seq("b"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
-      .withColumn("uni", size(array_union(col("ta"), col("tb"))).cast("double"))
-      .filter(col("uni") > 0 && col("inter") / col("uni") >= jaccardThreshold)
-      .select(col("a").as("src"), col("b").as("dst"))
+  /** [[verifiedPairs]](ids = stored ∪ fresh, leftIds = fresh) for the
+    * incremental case where the accumulated side's signatures are
+    * PERSISTED: candidate pairs touching a fresh id, with ZERO
+    * shingle/signature compute over the accumulated domain.
+    *
+    * Equivalence to the recompute formulation (CanonSpec asserts it):
+    *  - stored `sig` values are written by [[signatureColumn]] — the same
+    *    expression verifiedPairs derives — so banding them with
+    *    [[MinHashBlocking.bandCol]] reproduces banded(domain) exactly;
+    *  - the broadcast semi join drops only stored band rows whose
+    *    (band, bucket) key occurs in NO fresh row — rows that could never
+    *    join (the left side is exactly the fresh band rows);
+    *  - verification recomputes toks inline from the pair's own id
+    *    strings: toks = f(id), so the old inner joins back to the
+    *    domain toks frame were identity lookups.
+    *
+    * Cost: O(fresh) signature compute + ONE narrow (id, sig) columnar
+    * scan of the store pre-filtered BEFORE the pair exchange + O(candidate
+    * pairs) verification. Nothing scales with the accumulated domain
+    * except the narrow scan's IO. */
+  def verifiedPairsStored(fresh: DataFrame, storedSigs: DataFrame,
+                          jaccardThreshold: Double): DataFrame = {
+    val freshSigs = withSignatures(fresh.select("id"))
+      .localCheckpoint() // batch-sized; feeds both join sides
+    def banded(sigs: DataFrame) = sigs.select(col("id"),
+      posexplode(MinHashBlocking.bandCol(col("sig"), sigBands, sigRowsPerBand))
+        .as(Seq("band", "bucket")))
+    val freshBanded = banded(freshSigs).localCheckpoint()
+    val freshKeys = freshBanded.select("band", "bucket").distinct()
+    val storedPruned = banded(storedSigs)
+      .join(broadcast(freshKeys), Seq("band", "bucket"), "left_semi")
+    val l = freshBanded.select(col("band"), col("bucket"), col("id").as("a"))
+    val r = storedPruned.unionByName(freshBanded)
+      .select(col("band"), col("bucket"), col("id").as("b"))
+    // same orientation rule as candidatePairs: the fresh id may be the
+    // larger endpoint, so normalize after the join. Verify-then-distinct,
+    // same as verifiedPairs: hub band keys can make the raw candidate
+    // population millions of rows while survivors are thousands — the
+    // typed verify costs ~µs/pair and the dedup exchange moves only edges.
+    val raw = l.join(r, Seq("band", "bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+    verifyPairsTyped(raw, jaccardThreshold).distinct()
   }
 
   /** Components over `edges` -> (id, canonical) with identity rows for

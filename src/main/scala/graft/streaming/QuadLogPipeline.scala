@@ -188,14 +188,24 @@ final class QuadLogPipeline(
       : (DataFrame, Long, DataFrame, DataFrame) = {
     import spark.implicits._
     val iris = timed("canon.iris")(candidateIris(rawQuads).localCheckpoint())
-    val old = canon.read().map(_.select("id", "canonical"))
+    val old = canon.read()
     old match {
       case None =>
         val cm = timed("canonicalMap")(
           IriCanonicalizer.canonicalMap(spark, iris).localCheckpoint())
         lastCanonBuckets = None
         (cm, cm.count(), cm.limit(0), cm)
-      case Some(o0) =>
+      case Some(full) =>
+        val o0 = full.select("id", "canonical")
+        // Persisted signatures (`sig` column, written by every canon
+        // commit): a LAZY narrow (id, sig) view of the same fold, only
+        // evaluated when the batch brings fresh ids — it routes
+        // extendChangedGivenFresh through verifiedPairsStored, so no
+        // shingle/signature pass over the accumulated domain ever runs
+        // per batch. Stores written before the column existed fall back
+        // to the recompute path (None).
+        val storedSigs: Option[DataFrame] =
+          if (full.columns.contains("sig")) Some(full.select("id", "sig")) else None
         // Small stores: checkpoint the folded map once — the domain union,
         // the touched-cluster splits and the remap join all scan it, and
         // each lazy scan re-runs the merge-on-read fold. Past the byte
@@ -228,7 +238,8 @@ final class QuadLogPipeline(
           .localCheckpoint()
         val changed = timed("canonicalMap")(
           (if (fresh.isEmpty) o.limit(0)
-           else IriCanonicalizer.extendChangedGivenFresh(spark, o, fresh))
+           else IriCanonicalizer.extendChangedGivenFresh(spark, o, fresh,
+             storedSigs = storedSigs))
             .localCheckpoint())
         // rewrite view: pruned old rows minus the ones `changed` replaces,
         // plus the changed rows the batch can actually reference
@@ -340,9 +351,13 @@ final class QuadLogPipeline(
     val contribData =
       if (!canonicalize) raw
       else {
-        // empty store: `changed` IS the whole new map (and equals the view)
+        // empty store: `changed` IS the whole new map (and equals the view).
+        // `sig` is persisted at write time (a deterministic function of the
+        // id string) so no later batch ever recomputes signatures over the
+        // accumulated domain — see extendedCanonMap / verifiedPairsStored.
         val (view, viewRows, _, changed) = extendedCanonMap(raw)
-        canon.commitFull(changed.withColumn("bucket", canon.bucketCol(col("id"))), 0L)
+        canon.commitFull(IriCanonicalizer.withSignatures(changed)
+          .withColumn("bucket", canon.bucketCol(col("id"))), 0L)
         rewriteIfNonTrivial(raw, view, viewRows)
       }
     timed("bootstrap.commitContrib") {
@@ -458,7 +473,8 @@ final class QuadLogPipeline(
         // the old stageFull rewrote the whole accumulated map per batch.
         timed("incr.canonStage")(
           canon.stageDelta(
-            additions = canonChanged.withColumn("bucket", canon.bucketCol(col("id"))),
+            additions = IriCanonicalizer.withSignatures(canonChanged)
+              .withColumn("bucket", canon.bucketCol(col("id"))),
             tombstones = canonChanged.select(col("id"))
               .withColumn("bucket", canon.bucketCol(col("id"))),
             id = batchId,

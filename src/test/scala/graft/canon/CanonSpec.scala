@@ -180,6 +180,69 @@ class CanonicalizerSpec extends GraftSpec {
     assert(viaParts == m1.as[(String, String)].collect().toMap)
   }
 
+  test("typed signature kernel == HOF Column signature (bit-exact)") {
+    // the canon store persists `sig` via the typed kernel (sigScala); the
+    // HOF Column tree is the independent reference implementation — assert
+    // bit-equality over dictionary iris, aliases, and adversarial locals
+    val d = graft.sources.PageGen.dictionary
+    val ids = (d.map(_.iri) ++ d.take(4).map(e => graft.sources.PageGen.aliasIri(e.iri)) ++ Seq(
+      "http://kg.example.org/entity/",            // EMPTY local
+      "http://kg.example.org/entity/X",           // 1-char
+      "http://kg.example.org/entity/ab",          // 2-char
+      "http://kg.example.org/entity/A#Frag",      // fragment
+      "http://kg.example.org/entity/Um-l_aut9.x", // specials
+      "http://kg.example.org/e/123456789012345678901234567890123456789012345678"
+    )).distinct
+    val viaKernel = IriCanonicalizer.withSignatures(ids.toDF("id"))
+      .select("id", "sig").as[(String, Seq[Long])].collect().toMap
+    val viaColumn = ids.toDF("id")
+      .select(col("id"), IriCanonicalizer.signatureColumn(col("id")).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(viaKernel == viaColumn,
+      ids.filter(i => viaKernel(i) != viaColumn(i)).mkString(", "))
+  }
+
+  test("extendChangedGivenFresh: stored-signature path == recompute path") {
+    // the pipeline persists `sig` in the canon store and routes pair
+    // generation through verifiedPairsStored — assert it yields the SAME
+    // changed rows as the domain-recompute formulation, on a corpus with
+    // old-new merges, an old-old bridge via a new alias, and adversarial
+    // locals (empty local name, 1-char, specials, fragment)
+    val d = graft.sources.PageGen.dictionary
+    val oldIris = (d.take(6).map(_.iri) ++
+      d.take(2).map(e => graft.sources.PageGen.aliasIri(e.iri)) ++ Seq(
+        "http://kg.example.org/entity/",            // EMPTY local
+        "http://kg.example.org/entity/X",           // 1-char local
+        "http://kg.example.org/entity/A#Frag",      // fragment split
+        "http://kg.example.org/entity/Um-l_aut9.x"  // specials stripped
+      )).distinct
+    val oldMap = IriCanonicalizer.canonicalMap(spark, oldIris.toDF("id"))
+      .localCheckpoint()
+    // the write-side expression — what every canon store commit persists
+    val storedSigs = oldMap
+      .select(col("id"), IriCanonicalizer.signatureColumn(col("id")).as("sig"))
+      .localCheckpoint()
+    val freshIds = Seq(
+      graft.sources.PageGen.aliasIri(d(3).iri),     // merges with an old id
+      d(7).iri,                                     // genuinely new singleton
+      "http://kg.example.org/alt/Um-l_aut9.x",      // merges with adversarial old
+      "http://kg.example.org/alt/")                 // fresh EMPTY local (pairs with old empty)
+    val fresh = freshIds.toDF("id")
+      .join(oldMap.select("id"), Seq("id"), "left_anti").localCheckpoint()
+    val viaRecompute = IriCanonicalizer
+      .extendChangedGivenFresh(spark, oldMap, fresh)
+      .as[(String, String)].collect().toMap
+    val viaStored = IriCanonicalizer
+      .extendChangedGivenFresh(spark, oldMap, fresh, storedSigs = Some(storedSigs))
+      .as[(String, String)].collect().toMap
+    assert(viaStored == viaRecompute,
+      s"only-stored=${viaStored.toSet -- viaRecompute.toSet} " +
+        s"only-recompute=${viaRecompute.toSet -- viaStored.toSet}")
+    // the corpus must actually exercise old-new merges, not just identities
+    assert(viaStored.exists { case (id, c) => id != c }, "no merges exercised")
+    assert(viaStored.contains(graft.sources.PageGen.aliasIri(d(3).iri)))
+  }
+
   test("canonicalize rewrites subject and IRI-object but not literals") {
     val cmap = Seq(("http://kg.example.org/alt/X", "http://kg.example.org/entity/X"))
       .toDF("id", "canonical")

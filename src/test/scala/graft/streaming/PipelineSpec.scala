@@ -260,6 +260,17 @@ class PipelineSpec extends GraftSpec {
     // and the state still reconciles with full re-derivation
     val all = spark.createDataset(p0 :+ p1)
     assert(QuadDiff.diff(pipe.currentQuads, pipe.extractedQuads(all)).count() == 0)
+
+    // persisted-signature contract: every canon store row (bootstrap full
+    // write AND the incremental delta) carries a `sig` equal to the
+    // write-side expression recomputed from the id — the invariant that
+    // lets extendChangedGivenFresh skip the accumulated-domain signature
+    // pass (verifiedPairsStored)
+    val st = pipe.canon.read().get
+    assert(st.columns.contains("sig"), st.columns.mkString(","))
+    assert(st.filter(!(col("sig") <=>
+        graft.canon.IriCanonicalizer.signatureColumn(col("id")))).isEmpty,
+      "stored sig diverges from the write-side recompute")
   }
 
   test("crash between store finalizes is repaired from the commit marker") {
