@@ -642,8 +642,19 @@ object IriCanonicalizer {
     * scan of the store pre-filtered BEFORE the pair exchange + O(candidate
     * pairs) verification. Nothing scales with the accumulated domain
     * except the narrow scan's IO. */
+  /** Fresh-id count at or below which the stored band scan is pre-filtered
+    * by an EXPLICITLY broadcast semi join on the fresh band keys: 8 keys ×
+    * 16 B × hashed-relation overhead ≈ low tens of MB at the gate — the
+    * same byte-reasoned discipline as the pipeline's urlBroadcastKeyLimit.
+    * Above it (a bootstrap-sized increment) the hint would force a
+    * multi-hundred-MB broadcast past Spark's own estimator, so the stored
+    * side joins UNFILTERED — the shuffle the recompute path always paid,
+    * still minus its domain signature pass. */
+  val freshKeyBroadcastLimit: Long = 200000L
+
   def verifiedPairsStored(fresh: DataFrame, storedSigs: DataFrame,
-                          jaccardThreshold: Double): DataFrame = {
+                          jaccardThreshold: Double,
+                          freshBroadcastLimit: Long = freshKeyBroadcastLimit): DataFrame = {
     val freshSigs = withSignatures(fresh.select("id"))
       .localCheckpoint() // batch-sized; feeds both join sides
     def banded(sigs: DataFrame) = sigs.select(col("id"),
@@ -651,8 +662,11 @@ object IriCanonicalizer {
         .as(Seq("band", "bucket")))
     val freshBanded = banded(freshSigs).localCheckpoint()
     val freshKeys = freshBanded.select("band", "bucket").distinct()
-    val storedPruned = banded(storedSigs)
-      .join(broadcast(freshKeys), Seq("band", "bucket"), "left_semi")
+    val storedBanded = banded(storedSigs)
+    val storedPruned =
+      if (freshSigs.count() <= freshBroadcastLimit)
+        storedBanded.join(broadcast(freshKeys), Seq("band", "bucket"), "left_semi")
+      else storedBanded
     val l = freshBanded.select(col("band"), col("bucket"), col("id").as("a"))
     val r = storedPruned.unionByName(freshBanded)
       .select(col("band"), col("bucket"), col("id").as("b"))

@@ -241,6 +241,15 @@ class CanonicalizerSpec extends GraftSpec {
     // the corpus must actually exercise old-new merges, not just identities
     assert(viaStored.exists { case (id, c) => id != c }, "no merges exercised")
     assert(viaStored.contains(graft.sources.PageGen.aliasIri(d(3).iri)))
+    // over-gate shape: a fresh set past freshKeyBroadcastLimit joins the
+    // stored bands UNFILTERED (no broadcast hint) — same verified pairs
+    val overGate = IriCanonicalizer
+      .verifiedPairsStored(fresh, storedSigs, 0.6, freshBroadcastLimit = 0)
+      .as[(String, String)].collect().toSet
+    val underGate = IriCanonicalizer
+      .verifiedPairsStored(fresh, storedSigs, 0.6)
+      .as[(String, String)].collect().toSet
+    assert(overGate == underGate && overGate.nonEmpty)
   }
 
   test("canonicalize rewrites subject and IRI-object but not literals") {
