@@ -430,11 +430,14 @@ object Micro {
       println(s"[micro] canon rewrite rows=${newRewrite._1} (old == new)")
       // --- map EXTENSION with fresh ids: the last O(map) compute term ---
       // A batch bringing fresh ids runs extendChangedGivenFresh. The
-      // recompute shape pays a shingle + HOF-minhash signature pass over
-      // the ENTIRE accumulated domain (n ids) per batch; the persisted-sig
-      // shape (verifiedPairsStored) computes O(fresh) signatures and scans
-      // the store's narrow (id, sig) columns pre-filtered by the fresh
-      // band keys. Same changed rows, asserted.
+      // RECOMPUTE shape (labeled OLD below) re-signs the ENTIRE
+      // accumulated domain (n ids) per batch — NOTE it now uses the typed
+      // kernel, so this baseline is already ~4x faster than the original
+      // HOF form it replaced (314.5 s at 10M ids on this box; see
+      // OPTIMIZATION_r07.md) — while the persisted-sig shape
+      // (verifiedPairsStored) signs O(fresh) ids and scans the store's
+      // narrow (id, sig) columns pre-filtered by the fresh band keys.
+      // Same changed rows, asserted.
       val o = pipe.canon.read().get.select("id", "canonical")
       val freshN = 2000L
       val fresh = spark.range(0, freshN).select(

@@ -468,14 +468,14 @@ object IriCanonicalizer {
     //    (see verifiedPairsStored; CanonSpec asserts equality).
     //  - None: recompute over the whole domain (pre-sig stores, spec
     //    callers). domain = map ids ∪ fresh — disjoint unions of
-    //    already-distinct sets, so no dedup exchange; checkpointed because
-    //    verifiedPairs scans it three times (shingles, band join right
-    //    side, verification sides).
+    //    already-distinct sets, so no dedup exchange, and consumed exactly
+    //    once (verifiedPairs checkpoints its own signature frame; the
+    //    typed verification reads no domain-side toks), so no checkpoint
+    //    here either.
     val newEdges = ConnectedComponents.timed("ext.newEdges")((storedSigs match {
       case Some(ss) => verifiedPairsStored(fresh, ss, jaccardThreshold)
       case None =>
         val ids = oldMap.select(col("id")).union(fresh.select(col("id")))
-          .localCheckpoint()
         verifiedPairs(ids, jaccardThreshold, leftIds = Some(fresh))
     }).localCheckpoint())
     val endpoints = newEdges.select(col("src").as("id"))
@@ -617,7 +617,10 @@ object IriCanonicalizer {
     // population (13M rows at the CANON_VPS probe shape) only to verify a
     // few thousand of them; this shape re-verifies a pair once per extra
     // shared band (bounded 8x, in practice ~1x) and shuffles only edges.
-    val sigs = withSignatures(iris.select("id"))
+    // sigs is CHECKPOINTED because the band self-join consumes it on both
+    // sides and Spark does no cross-branch CSE — un-materialized, the
+    // domain signature kernel would run twice.
+    val sigs = withSignatures(iris.select("id")).localCheckpoint()
     val raw = MinHashBlocking.candidatePairsRaw(sigs, sigBands, sigRowsPerBand, leftIds)
     verifyPairsTyped(raw, jaccardThreshold).distinct()
   }

@@ -734,7 +734,15 @@ final class SnapshotStore(spark: SparkSession, root: String, val numBuckets: Int
       df.withColumn("_wtag", lit(tag))
     }
     if (tagged.isEmpty) return None
-    val cols = tagged.head.columns
+    // COMMON-schema projection (head's column order): a store whose chain
+    // mixes schema generations — a base written before a column existed
+    // under deltas that carry it, or the reverse after a binary rollback —
+    // folds to the columns EVERY generation has instead of crashing on the
+    // head's superset (readers of evolved columns treat absence as "not
+    // available" and fall back; the canon `sig` column is the live case).
+    // Key columns stay loud: deleteKeys/bucket are contractual in every
+    // generation, so a genuinely malformed delta still fails below.
+    val cols = tagged.map(_.columns.toSeq).reduce((a, b) => a.filter(b.contains))
     val rows = tagged.map(_.select(cols.map(col): _*)).reduce(_ unionByName _)
     if (tombs.isEmpty) return Some(rows.drop("_wtag"))
     val tombMax = tombs.map { case (tag, df) =>

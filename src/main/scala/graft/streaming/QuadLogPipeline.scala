@@ -206,6 +206,7 @@ final class QuadLogPipeline(
         // to the recompute path (None).
         val storedSigs: Option[DataFrame] =
           if (full.columns.contains("sig")) Some(full.select("id", "sig")) else None
+        lastCanonHasSig = storedSigs.isDefined
         // Small stores: checkpoint the folded map once — the domain union,
         // the touched-cluster splits and the remap join all scan it, and
         // each lazy scan re-runs the merge-on-read fold. Past the byte
@@ -271,6 +272,14 @@ final class QuadLogPipeline(
   /** Buckets the last canon-map prune planned (None = full read or empty
     * store) — observable plan-shape evidence for specs/benchmarks. */
   @volatile private[graft] var lastCanonBuckets: Option[Seq[Int]] = None
+
+  /** Whether the last canon-map read carried persisted signatures. Gates
+    * the incremental delta's sig attachment: a pre-sig store (written by
+    * an older binary) stays consistently sig-less — the read-side fold
+    * would drop a mixed-in column anyway (common-schema projection), so
+    * writing it would only burn kernel time and delta bytes forever.
+    * Migration is the next bootstrap/epoch reset, which always signs. */
+  @volatile private var lastCanonHasSig: Boolean = true
 
   /** Exact per-page contributions: quads tagged with the url that supports
     * them (a quad may appear under many urls; support = distinct urls).
@@ -473,7 +482,8 @@ final class QuadLogPipeline(
         // the old stageFull rewrote the whole accumulated map per batch.
         timed("incr.canonStage")(
           canon.stageDelta(
-            additions = IriCanonicalizer.withSignatures(canonChanged)
+            additions = (if (lastCanonHasSig)
+                IriCanonicalizer.withSignatures(canonChanged) else canonChanged)
               .withColumn("bucket", canon.bucketCol(col("id"))),
             tombstones = canonChanged.select(col("id"))
               .withColumn("bucket", canon.bucketCol(col("id"))),

@@ -19,6 +19,40 @@ class SnapshotStoreSpec extends GraftSpec {
     assert(back.select(sum("v")).head().getLong(0) == 5050)
   }
 
+  test("mixed-schema chain folds to the common columns, both directions") {
+    // schema evolution across binary generations (the canon `sig` column):
+    // a base without the evolved column under a delta that carries it — or
+    // the reverse, after a binary rollback wrote one old-format delta —
+    // must fold to the columns every generation has, never crash the read
+    // and never resurrect half-present values.
+    def mk(root: String) = new SnapshotStore(spark, root, numBuckets = 2,
+      deleteKeys = Seq("k"), maxDeltas = 10)
+    // old base (k, v), new delta adds `extra`
+    val st1 = mk(tmpDir("storeEvo1"))
+    val base1 = (1 to 10).map(i => (s"k$i", i)).toDF("k", "v")
+      .withColumn("bucket", st1.bucketCol(col("k")))
+    st1.commitFull(base1, 0L)
+    val add1 = Seq(("k1", 100, "x")).toDF("k", "v", "extra")
+      .withColumn("bucket", st1.bucketCol(col("k")))
+    st1.commitDelta(add1, add1.select("k", "bucket"), 1L)
+    val back1 = st1.read().get
+    assert(back1.columns.toSeq == Seq("k", "v", "bucket"), back1.columns.mkString(","))
+    assert(back1.filter(col("k") === "k1").select("v").as[Int].head() == 100)
+    assert(back1.count() == 10)
+    // new base (k, v, extra), rolled-back delta without `extra`
+    val st2 = mk(tmpDir("storeEvo2"))
+    val base2 = (1 to 10).map(i => (s"k$i", i, s"e$i")).toDF("k", "v", "extra")
+      .withColumn("bucket", st2.bucketCol(col("k")))
+    st2.commitFull(base2, 0L)
+    val add2 = Seq(("k2", 200)).toDF("k", "v")
+      .withColumn("bucket", st2.bucketCol(col("k")))
+    st2.commitDelta(add2, add2.select("k", "bucket"), 1L)
+    val back2 = st2.read().get
+    assert(back2.columns.toSeq == Seq("k", "v", "bucket"), back2.columns.mkString(","))
+    assert(back2.filter(col("k") === "k2").select("v").as[Int].head() == 200)
+    assert(back2.count() == 10)
+  }
+
   test("mergeBuckets rewrites only affected buckets; others carried forward") {
     val root = tmpDir("store2")
     val st = new SnapshotStore(spark, root, numBuckets = 4)
