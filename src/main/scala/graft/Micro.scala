@@ -459,6 +459,35 @@ object Micro {
       println(s"[micro] canon extension changed rows=${newExt._1} (old == new)")
       spark.stop(); return
     }
+    if (sys.env.contains("CANON_PLAN")) {
+      // .explain("formatted") evidence for plans/r07: the canon extension's
+      // pair-generation DAG, recompute shape vs persisted-signature shape
+      // (same verified output, spec-asserted; see CanonSpec)
+      import graft.canon.IriCanonicalizer
+      val n = sys.env("CANON_PLAN").toLong
+      val root = Bench.scratchRoot("micro_plan")
+      val pipe = new graft.streaming.QuadLogPipeline(spark, root, numBuckets = 64)
+      def iriOf(i: org.apache.spark.sql.Column) =
+        concat(lit("http://kg.example.org/entity/"), md5(i.cast("string")))
+      val mapDf = IriCanonicalizer.withSignatures(
+          spark.range(0, n).select(iriOf(col("id")).as("id"),
+            iriOf(col("id")).as("canonical")))
+        .withColumn("bucket", pipe.canon.bucketCol(col("id")))
+      pipe.canon.commitFull(mapDf, 0L)
+      val o = pipe.canon.read().get.select("id", "canonical")
+      val sigs = pipe.canon.read().get.select("id", "sig")
+      val fresh = spark.range(0, 50).select(
+          concat(lit("http://kg.example.org/entity/fresh-"),
+            md5(col("id").cast("string"))).as("id"))
+        .localCheckpoint()
+      println("=== RECOMPUTE PATH (storedSigs = None): domain-signature pair generation ===")
+      IriCanonicalizer.verifiedPairs(
+        o.select(col("id")).union(fresh.select(col("id"))), 0.6,
+        leftIds = Some(fresh)).explain("formatted")
+      println("=== PERSISTED-SIG PATH (verifiedPairsStored): narrow scan + broadcast semi ===")
+      IriCanonicalizer.verifiedPairsStored(fresh, sigs, 0.6).explain("formatted")
+      spark.stop(); return
+    }
     if (sys.env.contains("CANON_VPS")) {
       // step decomposition of verifiedPairsStored at an N-id stored map —
       // where does the candidate-pair stage spend its time?
